@@ -1,0 +1,283 @@
+"""Vectorized (numpy) batch kernels for the poppy hash pipeline.
+
+Everything here operates on *batches* of keys — a zero-padded byte matrix plus
+a length vector — so the Arrow -> numpy path inside Spark UDFs never executes
+per-row Python.  Scalar oracles live in :mod:`poppy_spark.core.hashes`; the
+property tests assert batch == scalar on random inputs.
+
+Semantics references (behavior, not code):
+  * FNV-1 fold: ``poppy/src/hash/fnv.rs:28-54``
+  * wyhash pipeline: ``poppy/src/hash/wyhash.rs`` + crate wyhash 0.5.0
+  * <=8-byte identity shortcut: ``poppy/src/hash.rs:52-63``
+  * v1 fingerprint chain (128-bit mulmod): ``poppy/src/bloom/v1.rs:21-66``
+  * v2 double hashing + xorshift* bucket hash: ``poppy/src/bloom/v2.rs:19-121``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashes import (
+    FNV_OFFSET,
+    FNV_PRIME,
+    POPPY_SEED,
+    V1_G,
+    V1_M,
+    WYHASH_P0,
+    WYHASH_P1,
+    WYHASH_P2,
+    WYHASH_P3,
+    WYHASH_P4,
+    WYHASH_P5,
+)
+
+U64 = np.uint64
+U8 = np.uint8
+_LO32 = U64(0xFFFFFFFF)
+_32 = U64(32)
+
+
+def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a pyarrow String/Binary/LargeString array into the (matrix, lens)
+    batch layout with no per-row Python.
+
+    Reads the Arrow offsets+data buffers directly; nulls become empty keys
+    (callers should filter nulls upstream when that matters).
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typ = arr.type
+    if pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
+        odt = np.int64
+    elif pa.types.is_string(typ) or pa.types.is_binary(typ):
+        odt = np.int32
+    else:  # fall back for anything exotic
+        return pack_keys(arr.to_pylist())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=U8) if bufs[2] is not None else np.zeros(0, U8)
+    lens = np.diff(offsets)
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        lens = np.where(valid, lens, 0)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 40), dtype=U8), lens
+    maxlen = int(lens.max())
+    width = ((maxlen + 7) // 8) * 8 + 40
+    mat = np.zeros((n, width), dtype=U8)
+    if lens.sum() > 0:
+        mask = np.arange(width)[None, :] < lens[:, None]
+        # gather the valid byte ranges in row order
+        starts = offsets[:-1]
+        flat_idx = starts[:, None] + np.arange(width)[None, :]
+        mat[mask] = data[flat_idx[mask]]
+    return mat, lens
+
+
+def pack_keys(keys) -> tuple[np.ndarray, np.ndarray]:
+    """Pack an iterable of ``bytes`` (or str, utf-8 encoded) into a
+    zero-padded uint8 matrix plus a length vector.
+
+    The matrix width is padded to a multiple of 8 plus 32 guard bytes so the
+    wyhash kernels can read full words/blocks past short tails safely.
+    """
+    bufs = [k.encode("utf-8") if isinstance(k, str) else bytes(k) for k in keys]
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    if n == 0:
+        return np.zeros((0, 40), dtype=U8), lens
+    maxlen = int(lens.max()) if n else 0
+    width = ((maxlen + 7) // 8) * 8 + 40  # guard for 32B tail gather + 8B word
+    mat = np.zeros((n, width), dtype=U8)
+    if lens.sum() > 0:
+        flat = np.frombuffer(b"".join(bufs), dtype=U8)
+        mask = np.arange(width)[None, :] < lens[:, None]
+        mat[mask] = flat
+    return mat, lens
+
+
+def _mul_hi(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """High 64 bits of a 64x64 product, via 32-bit limbs (all uint64)."""
+    a_lo = a & _LO32
+    a_hi = a >> _32
+    b_lo = b & _LO32
+    b_hi = b >> _32
+    t = a_lo * b_lo
+    w = a_hi * b_lo + (t >> _32)
+    u = a_lo * b_hi + (w & _LO32)
+    return a_hi * b_hi + (w >> _32) + (u >> _32)
+
+
+def mum(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """wyhash's mum: lo ^ hi of the 128-bit product."""
+    a = a.astype(U64, copy=False)
+    b = b.astype(U64, copy=False)
+    return (a * b) ^ _mul_hi(a, b)
+
+
+def fnv1_batch(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Batch FNV-1: byte-position-major fold across the whole batch."""
+    n = mat.shape[0]
+    h = np.full(n, FNV_OFFSET, dtype=U64)
+    if n == 0:
+        return h
+    maxlen = int(lens.max()) if n else 0
+    prime = U64(FNV_PRIME)
+    for pos in range(maxlen):
+        m = lens > pos
+        if not m.any():
+            break
+        h[m] = (h[m] * prime) ^ mat[m, pos].astype(U64)
+    return h
+
+
+def _le64_at(mat: np.ndarray, off: np.ndarray, j: int) -> np.ndarray:
+    """Little-endian u64 read at per-row byte offset ``off + j``."""
+    idx = off[:, None] + (np.arange(j, j + 8, dtype=np.int64)[None, :])
+    g = np.take_along_axis(mat, idx, axis=1).astype(U64)
+    shifts = (np.arange(8, dtype=np.uint64) * U64(8))[None, :]
+    return (g << shifts).sum(axis=1, dtype=U64)
+
+
+def _read_rest_batch(g: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Vectorized exact-length composed read; ``g`` is (n, >=8) uint8 bytes at
+    the read position, ``t`` the per-row remaining length in 1..=8."""
+    g64 = g[:, :8].astype(U64)
+    le16 = g64[:, 0] | (g64[:, 1] << U64(8))
+    le16b = g64[:, 4] | (g64[:, 5] << U64(8))
+    le32 = le16 | (g64[:, 2] << U64(16)) | (g64[:, 3] << U64(24))
+    le64 = le32 | (le16b << U64(32)) | (g64[:, 6] << U64(48)) | (g64[:, 7] << U64(56))
+    out = np.select(
+        [t == 1, t == 2, t == 3, t == 4, t == 5, t == 6, t == 7],
+        [
+            g64[:, 0],
+            le16,
+            (le16 << U64(8)) | g64[:, 2],
+            le32,
+            (le32 << U64(8)) | g64[:, 4],
+            (le32 << U64(16)) | le16b,
+            (le32 << U64(24)) | (le16b << U64(8)) | g64[:, 6],
+        ],
+        default=le64,
+    )
+    return out.astype(U64)
+
+
+def wyhash_batch(mat: np.ndarray, lens: np.ndarray, seed: int = POPPY_SEED) -> np.ndarray:
+    """Batch wyhash (same algorithm as :func:`poppy_spark.core.hashes.wyhash`)."""
+    n = mat.shape[0]
+    h = np.full(n, seed, dtype=U64)
+    if n == 0:
+        return h
+    p0, p1, p2, p3, p4, p5 = (U64(x) for x in (WYHASH_P0, WYHASH_P1, WYHASH_P2, WYHASH_P3, WYHASH_P4, WYHASH_P5))
+    # 8-aligned word view for the fixed-offset 32-byte chunk loop
+    words = mat[:, : (mat.shape[1] // 8) * 8].view("<u8")
+    maxchunks = int(lens.max()) // 32
+    for c in range(maxchunks):
+        m = lens >= (c + 1) * 32
+        if not m.any():
+            break
+        w0 = words[m, 4 * c]
+        w1 = words[m, 4 * c + 1]
+        w2 = words[m, 4 * c + 2]
+        w3 = words[m, 4 * c + 3]
+        h[m] = mum(h[m] ^ p0, mum(w0 ^ p1, w1 ^ p2) ^ mum(w2 ^ p3, w3 ^ p4))
+    # tail: rest_len in 0..=31 at per-row offset 32*(len//32)
+    rest_len = (lens % 32).astype(np.int64)
+    rest_off = lens - rest_len
+    idx = rest_off[:, None] + np.arange(32, dtype=np.int64)[None, :]
+    g = np.take_along_axis(mat, idx, axis=1)  # (n, 32) bytes, zero padded
+    g64 = g[:, :32].copy().view("<u8")  # 4 aligned words of the tail
+
+    def _arm(msk: np.ndarray, upd: np.ndarray) -> None:
+        if msk.any():
+            h[msk] = upd[msk]
+
+    r = rest_len
+    m1 = (r >= 1) & (r <= 8)
+    m2 = (r >= 9) & (r <= 16)
+    m3 = (r >= 17) & (r <= 24)
+    m4 = r >= 25
+    if m1.any() or m2.any() or m3.any() or m4.any():
+        # read_rest bytes start at rest_off + 8*((r-1)//8) for the active arm
+        sub = np.where(r > 0, ((r - 1) // 8) * 8, 0)
+        gidx = (rest_off + sub)[:, None] + np.arange(8, dtype=np.int64)[None, :]
+        gr = np.take_along_axis(mat, gidx, axis=1)
+        rr = _read_rest_batch(gr, np.maximum(r - sub, 0))
+        w0, w1, w2 = g64[:, 0], g64[:, 1], g64[:, 2]
+        _arm(m1, mum(h ^ p0, rr ^ p1))
+        _arm(m2, mum(h ^ p0, mum(w0 ^ p1, rr ^ p2)))
+        _arm(m3, mum(h ^ p0, mum(w0 ^ p1, w1 ^ p2) ^ mum(rr ^ p3, np.broadcast_to(p4, h.shape))))
+        _arm(m4, mum(h ^ p0, mum(w0 ^ p1, w1 ^ p2) ^ mum(w2 ^ p3, rr ^ p4)))
+    return mum(h, lens.astype(U64) ^ p5)
+
+
+def hash_pop_batch(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """poppy typed-key hash for a batch: LE identity for <=8 bytes, wyhash else
+    (``poppy/src/hash.rs:52-63``)."""
+    short = lens <= 8
+    out = wyhash_batch(mat, lens, POPPY_SEED)
+    if short.any():
+        words = mat[:, :8].copy().view("<u8").reshape(-1)
+        # zero the bytes beyond len for short keys (matrix is zero padded so
+        # only needed if reused buffers ever contain junk — it does not here)
+        out = np.where(short, words, out)
+    return out
+
+
+def wyhash_u64be_batch(vals: np.ndarray) -> np.ndarray:
+    """wyhash of the 8 big-endian bytes of each u64 (h2 derivation,
+    ``poppy/src/bloom/v2.rs:106``).  read_rest(8 bytes of BE repr) ==
+    byteswap(value)."""
+    p0, p1, p5 = U64(WYHASH_P0), U64(WYHASH_P1), U64(WYHASH_P5)
+    seed = U64(POPPY_SEED)
+    h = mum(np.broadcast_to(seed ^ p0, vals.shape).copy(), vals.astype(U64).byteswap() ^ p1)
+    return mum(h, U64(8) ^ p5)
+
+
+def xorshift_star_batch(seed: np.ndarray) -> np.ndarray:
+    s = seed.astype(U64, copy=True)
+    s ^= s << U64(12)
+    s ^= s >> U64(25)
+    s ^= s << U64(27)
+    return s * U64(2685821657736338717)
+
+
+def v2_index_batch(h1: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket_hash, (n, k) bit indexes in [0, 32768)) — v2 double hashing."""
+    n = h1.shape[0]
+    mask = U64(32767)
+    idx = np.empty((n, k), dtype=U64)
+    h = h1.astype(U64, copy=True)
+    bucket_hash = xorshift_star_batch(h)
+    idx[:, 0] = h & mask
+    if k > 1:
+        h2 = wyhash_u64be_batch(h1)
+        for i in range(1, k):
+            h = h + h2
+            h2 = h2 + U64(i)
+            idx[:, i] = h & mask
+    return bucket_hash, idx
+
+
+# --- v1 fingerprint chain ------------------------------------------------------
+_M1 = U64(V1_M)
+_G1 = U64(V1_G)
+
+
+def v1_index_batch(fnv: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) v1 bit indexes: h = fnv % M; repeat h = wrap64(h*G) % M;
+    idx = h % m.  The multiply wraps at 64 bits before the modulo, matching
+    ``poppy/src/bloom/v1.rs:61`` (``wrapping_mul`` then ``% M``)."""
+    n = fnv.shape[0]
+    h = fnv.astype(U64, copy=False) % _M1
+    m = U64(m_bits)
+    idx = np.empty((n, k), dtype=U64)
+    for i in range(k):
+        h = (h * _G1) % _M1
+        idx[:, i] = h % m
+    return idx

@@ -1,0 +1,214 @@
+"""Batch bitset/state kernels for poppy-compatible Bloom filters.
+
+These operate on the raw numpy state arrays (v1: little-endian u64 words,
+v2: ``(n_buckets, 4096)`` uint8 buckets) and reproduce the reference's
+*sequential* insert semantics exactly while staying fully vectorized:
+
+* a key is "new" iff at least one of its k bits was unset at the moment the
+  key was processed (``poppy/src/bloom/v1.rs:253-294``, ``v2.rs:358-412``);
+* ``count`` increments once per new key;
+* inserting a new key while ``count == capacity`` raises TooManyEntries
+  (checked per key, in batch order — we pre-check instead of the reference's
+  partial-write-then-error, a documented deviation).
+
+The first-occurrence trick: flatten the (key, bit) pairs in key order; a pair
+sets a new bit iff the bit is unset in the pre-batch state AND this flat
+position is the first occurrence of that bit id in the batch.  That is exactly
+what a sequential per-key loop would observe.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .params import TooManyEntries
+
+U64 = np.uint64
+U8 = np.uint8
+
+#: per-byte popcount lookup (numpy 1.26 has no bitwise_count)
+POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+BUCKET_SIZE = 4096  # bytes per v2 bucket (poppy/src/bloom/v2.rs:125)
+BUCKET_BITS = BUCKET_SIZE * 8  # 32768
+
+
+def popcount(arr: np.ndarray) -> int:
+    return int(POP8[arr.view(U8)].sum(dtype=np.int64))
+
+
+def rust_f64_as_u64(x: float) -> int:
+    """Rust ``as u64`` cast semantics: truncate; NaN -> 0; saturate."""
+    if math.isnan(x) or x <= 0.0:
+        return 0
+    if x >= 2.0**64:
+        return (1 << 64) - 1
+    return int(x)
+
+
+def count_estimate_from_ones(bit_len: int, ones: int, n_hash: int) -> int:
+    """N ~= -m/k * ln(1 - X/m)  (``poppy/src/bloom/v1.rs:330-334``)."""
+    if bit_len == 0 or n_hash == 0:
+        return 0
+    return rust_f64_as_u64(-(bit_len * math.log(1.0 - ones / bit_len)) / n_hash)
+
+
+def _first_occurrence_new(
+    pre_set: np.ndarray, bit_ids: np.ndarray, n: int, k: int
+) -> np.ndarray:
+    """Per-key 'sets at least one new bit' flags under sequential semantics.
+
+    ``pre_set``/``bit_ids`` are (n, k): pre-batch bit values and global bit ids.
+    """
+    flat_ids = bit_ids.reshape(-1)
+    _, first_idx = np.unique(flat_ids, return_index=True)
+    first = np.zeros(flat_ids.shape[0], dtype=bool)
+    first[first_idx] = True
+    newbit = (~pre_set.reshape(-1)) & first
+    return newbit.reshape(n, k).any(axis=1)
+
+
+def _check_capacity(new_per_key: np.ndarray, count: int, capacity: int) -> None:
+    if capacity == 0 and new_per_key.shape[0] > 0:
+        raise TooManyEntries("too many entries, false positive rate cannot be met")
+    prev_counts = count + np.cumsum(new_per_key) - new_per_key
+    if bool((new_per_key & (prev_counts >= capacity)).any()):
+        raise TooManyEntries("too many entries, false positive rate cannot be met")
+
+
+# --- v2 (bucketed) -------------------------------------------------------------
+
+
+def v2_insert_batch(
+    buckets: np.ndarray,
+    cache: np.ndarray | None,
+    ibucket: np.ndarray,
+    idx: np.ndarray,
+    bucket_hash: np.ndarray,
+    count: int,
+    capacity: int,
+) -> tuple[int, np.ndarray]:
+    """Insert a batch into a v2 state; returns ``(new_count, new_per_key)``.
+
+    ``buckets`` is the flat ``n_buckets * 4096`` uint8 array (modified in
+    place), ``idx`` the (n, k) in-bucket bit indexes, ``ibucket`` the (n,)
+    bucket selectors, ``bucket_hash`` the xorshift* hashes for the optional
+    index cache.
+    """
+    n, k_ = idx.shape
+    if n == 0:
+        return count, np.zeros(0, dtype=bool)
+    byte_off = (ibucket.astype(np.int64) * BUCKET_SIZE)[:, None] + (
+        idx.astype(np.int64) >> 3
+    )
+    bitmask = (np.uint8(1) << (idx.astype(U8) & U8(7))).astype(U8)
+    pre_set = (buckets[byte_off] & bitmask) != 0
+    bit_ids = (ibucket.astype(np.int64) * BUCKET_BITS)[:, None] + idx.astype(np.int64)
+    new_per_key = _first_occurrence_new(pre_set, bit_ids, n, k_)
+    _check_capacity(new_per_key, count, capacity)
+    np.bitwise_or.at(buckets, byte_off.reshape(-1), bitmask.reshape(-1))
+    if cache is not None and cache.size:
+        cbits = cache.size * 8
+        cidx = (bucket_hash.astype(np.int64)) & (cbits - 1)
+        np.bitwise_or.at(cache, cidx >> 3, (np.uint8(1) << (cidx & 7).astype(U8)))
+    return count + int(new_per_key.sum()), new_per_key
+
+
+def v2_contains_batch(
+    buckets: np.ndarray,
+    cache: np.ndarray | None,
+    ibucket: np.ndarray,
+    idx: np.ndarray,
+    bucket_hash: np.ndarray,
+    capacity: int,
+) -> np.ndarray:
+    """Membership for a batch against a v2 state -> bool (n,)."""
+    n, _ = idx.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if capacity == 0:
+        return np.zeros(n, dtype=bool)
+    byte_off = (ibucket.astype(np.int64) * BUCKET_SIZE)[:, None] + (
+        idx.astype(np.int64) >> 3
+    )
+    bitmask = (np.uint8(1) << (idx.astype(U8) & U8(7))).astype(U8)
+    hit = ((buckets[byte_off] & bitmask) != 0).all(axis=1)
+    if cache is not None and cache.size:
+        cbits = cache.size * 8
+        cidx = (bucket_hash.astype(np.int64)) & (cbits - 1)
+        in_cache = (cache[cidx >> 3] & (np.uint8(1) << (cidx & 7).astype(U8))) != 0
+        hit &= in_cache
+    return hit
+
+
+def v2_bucket_ones(buckets: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Per-bucket popcounts -> (n_buckets,) int64."""
+    return (
+        POP8[buckets.reshape(n_buckets, BUCKET_SIZE)]
+        .sum(axis=1, dtype=np.int64)
+        .astype(np.int64)
+    )
+
+
+def _sum_bucket_estimates(ones: np.ndarray, n_hash: int) -> int:
+    """Sum per-bucket ``-m/k * ln(1 - X/m)`` with Rust ``as u64`` truncation
+    applied to *each bucket* before summing (``poppy/src/bloom/v2.rs:575-588``)."""
+    m = float(BUCKET_BITS)
+    with np.errstate(divide="ignore"):
+        est = -(m * np.log1p(-(ones / m))) / n_hash
+    est = np.where(np.isnan(est) | (est <= 0.0), 0.0, est)
+    saturated = est >= 2.0**64
+    total = int(np.floor(est[~saturated]).astype(np.uint64).sum(dtype=np.object_))
+    total += int(saturated.sum()) * ((1 << 64) - 1)
+    return total
+
+
+def v2_count_estimate(buckets: np.ndarray, n_buckets: int, n_hash: int) -> int:
+    """Sum of per-bucket truncated estimates (``poppy/src/bloom/v2.rs:575-588``)."""
+    if n_buckets == 0 or n_hash == 0:
+        return 0
+    return _sum_bucket_estimates(v2_bucket_ones(buckets, n_buckets), n_hash)
+
+
+def v2_count_common(
+    buckets_a: np.ndarray, buckets_b: np.ndarray, n_buckets: int, n_hash: int
+) -> int:
+    """Estimated common entries via per-bucket AND popcount
+    (``poppy/src/bloom/v2.rs:555-573``)."""
+    common = POP8[
+        (buckets_a & buckets_b).reshape(n_buckets, BUCKET_SIZE)
+    ].sum(axis=1, dtype=np.int64)
+    return _sum_bucket_estimates(common, n_hash)
+
+
+# --- v1 (flat u64-word bitset) ---------------------------------------------------
+
+
+def v1_insert_batch(
+    words: np.ndarray, idx: np.ndarray, count: int, capacity: int
+) -> tuple[int, np.ndarray]:
+    """Insert a batch into a v1 state (u64 word array, modified in place);
+    returns ``(new_count, new_per_key)``."""
+    n, k_ = idx.shape
+    if n == 0:
+        return count, np.zeros(0, dtype=bool)
+    iblock = (idx >> U64(6)).astype(np.int64)
+    bit = U64(1) << (idx & U64(63))
+    pre_set = (words[iblock] & bit) != 0
+    new_per_key = _first_occurrence_new(pre_set, idx.astype(np.int64), n, k_)
+    _check_capacity(new_per_key, count, capacity)
+    np.bitwise_or.at(words, iblock.reshape(-1), bit.reshape(-1))
+    return count + int(new_per_key.sum()), new_per_key
+
+
+def v1_contains_batch(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    n, _ = idx.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if words.size == 0:
+        return np.zeros(n, dtype=bool)
+    iblock = (idx >> U64(6)).astype(np.int64)
+    bit = U64(1) << (idx & U64(63))
+    return ((words[iblock] & bit) != 0).all(axis=1)

@@ -1,0 +1,273 @@
+"""poppy v2 Bloom filter (bucketed, wyhash-based), numpy-backed.
+
+Wire format (all little-endian, ``poppy/src/bloom/v2.rs:253-279``)::
+
+    flags[8] | capacity u64 | fpp f64 | n_hash_buck u64 | count u64
+    | cache_bit_len u64 | cache bytes | n_buckets u64
+    | buckets (4096 bytes each) | attached data ... EOF
+
+Sizing per ``v2.rs:281-329``: each 4096-byte bucket is a small Bloom filter
+holding ``cap_from_bit_size(32768, fpp)`` entries; keys route to buckets by
+``xorshift_star(h1)``; within a bucket, k indexes come from wyhash-based
+double hashing.  A partial-state serialization of this class is itself a
+valid poppy v2 file, which is what our Spark partial aggregation shuffles.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+
+import numpy as np
+
+from . import hashkern as hk
+from . import statekern as sk
+from .params import (
+    MergeError,
+    OptLevel,
+    Params,
+    PoppyError,
+    TooManyEntries,
+    cap_from_bit_size,
+    check_fpp,
+    estimate_p,
+    flags_bytes,
+    k as k_fn,
+    next_power_of_two,
+    parse_flags,
+)
+from .statekern import BUCKET_BITS, BUCKET_SIZE
+
+_HDR = struct.Struct("<QdQQ")  # capacity, fpp, n_hash_buck, count
+
+
+class BloomV2:
+    version = 2
+
+    def __init__(
+        self,
+        capacity: int,
+        fpp: float,
+        n_hash_buck: int,
+        n_buckets: int,
+        cache_bits: int = 0,
+        count: int = 0,
+        buckets: np.ndarray | None = None,
+        cache: np.ndarray | None = None,
+        data: bytes = b"",
+        opt: OptLevel = OptLevel.NONE,
+        reserved: bytes = b"\0" * 6,
+        partial: bool = False,
+    ):
+        self.capacity = capacity
+        self.fpp = fpp
+        self.n_hash_buck = n_hash_buck
+        self.n_buckets = n_buckets
+        self.count = count
+        self.opt = opt
+        self.reserved = reserved
+        self.partial = partial
+        cache_bytes = math.ceil(cache_bits / 8)
+        if buckets is None and not partial:
+            buckets = np.zeros(n_buckets * BUCKET_SIZE, dtype=np.uint8)
+        self.buckets = buckets if buckets is not None else np.zeros(0, dtype=np.uint8)
+        if cache is None and not partial:
+            cache = np.zeros(cache_bytes, dtype=np.uint8)
+        self.cache = cache if cache is not None else np.zeros(0, dtype=np.uint8)
+        self.cache_byte_size = cache_bytes if partial else self.cache.size
+        self.data = bytes(data)
+
+    # --- construction ------------------------------------------------------------
+    @classmethod
+    def make(cls, capacity: int, fpp: float, opt: OptLevel = OptLevel.NONE) -> "BloomV2":
+        check_fpp(fpp)
+        bucket_cap = cap_from_bit_size(BUCKET_BITS, fpp)
+        n_buckets = math.ceil(capacity / bucket_cap)
+        n_hash_buck = k_fn(BUCKET_BITS, bucket_cap)
+        cache_bits = 0
+        bits_per_entry = round(BUCKET_BITS / bucket_cap)
+        if opt in (OptLevel.SPEED, OptLevel.BEST):
+            cache_bits = next_power_of_two(capacity)
+            if opt is OptLevel.SPEED:
+                n_buckets = next_power_of_two(n_buckets)
+            n_hash_buck = math.ceil(
+                math.log(2.0) * estimate_p(capacity, cache_bits) * bits_per_entry
+            )
+        return cls(capacity, fpp, n_hash_buck, n_buckets, cache_bits, opt=OptLevel(opt))
+
+    @classmethod
+    def with_capacity(cls, capacity: int, fpp: float) -> "BloomV2":
+        return cls.make(capacity, fpp, OptLevel.NONE)
+
+    @classmethod
+    def from_params(cls, p: Params) -> "BloomV2":
+        return cls.make(p.capacity, p.fpp, p.opt)
+
+    # --- hashing -------------------------------------------------------------------
+    def _route(self, mat: np.ndarray, lens: np.ndarray):
+        """(ibucket, idx, bucket_hash) for a packed batch."""
+        h1 = hk.hash_pop_batch(mat, lens)
+        bucket_hash, idx = hk.v2_index_batch(h1, max(self.n_hash_buck, 1))
+        if self.n_buckets and self.n_buckets & (self.n_buckets - 1) == 0:
+            ibucket = bucket_hash & np.uint64(self.n_buckets - 1)
+        elif self.n_buckets:
+            ibucket = bucket_hash % np.uint64(self.n_buckets)
+        else:
+            ibucket = np.zeros_like(bucket_hash)
+        return ibucket, idx[:, : self.n_hash_buck], bucket_hash
+
+    # --- core ops --------------------------------------------------------------------
+    def insert_packed(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        if self.capacity == 0 and mat.shape[0] > 0:
+            raise TooManyEntries("too many entries, false positive rate cannot be met")
+        ibucket, idx, bucket_hash = self._route(mat, lens)
+        self.count, new = sk.v2_insert_batch(
+            self.buckets,
+            self.cache if self.cache.size else None,
+            ibucket,
+            idx,
+            bucket_hash,
+            self.count,
+            self.capacity,
+        )
+        return new
+
+    def insert_batch(self, keys) -> np.ndarray:
+        return self.insert_packed(*hk.pack_keys(keys))
+
+    def insert_bytes(self, key) -> bool:
+        return bool(self.insert_batch([key])[0])
+
+    def contains_packed(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        ibucket, idx, bucket_hash = self._route(mat, lens)
+        return sk.v2_contains_batch(
+            self.buckets,
+            self.cache if self.cache.size else None,
+            ibucket,
+            idx,
+            bucket_hash,
+            self.capacity,
+        )
+
+    def contains_batch(self, keys) -> np.ndarray:
+        return self.contains_packed(*hk.pack_keys(keys))
+
+    def contains_bytes(self, key) -> bool:
+        return bool(self.contains_batch([key])[0])
+
+    def clear(self) -> None:
+        self.buckets.fill(0)
+        self.cache.fill(0)
+        self.count = 0
+
+    # --- metadata ---------------------------------------------------------------------
+    def count_ones(self) -> int:
+        return sk.popcount(self.buckets)
+
+    def count_estimate(self) -> int:
+        return self.count
+
+    def update_count(self) -> None:
+        self.count = sk.v2_count_estimate(self.buckets, self.n_buckets, self.n_hash_buck)
+
+    def estimated_p(self) -> float:
+        return estimate_p(max(self.count_estimate(), 1), self.n_buckets * BUCKET_BITS)
+
+    def is_full(self) -> bool:
+        return self.count_estimate() == self.capacity
+
+    def size_in_bytes(self) -> int:
+        return self.n_buckets * BUCKET_SIZE + self.cache_byte_size
+
+    def has_same_params(self, other: "BloomV2") -> bool:
+        return (
+            isinstance(other, BloomV2)
+            and self.opt == other.opt
+            and self.reserved == other.reserved
+            and self.capacity == other.capacity
+            and self.cache_byte_size == other.cache_byte_size
+            and self.fpp == other.fpp
+            and self.n_hash_buck == other.n_hash_buck
+            and self.n_buckets == other.n_buckets
+        )
+
+    # --- merges ------------------------------------------------------------------------
+    def union_merge(self, other: "BloomV2") -> None:
+        if not self.has_same_params(other):
+            raise MergeError("cannot make union of bloom filters with different parameters")
+        np.bitwise_or(self.buckets, other.buckets, out=self.buckets)
+        if self.cache.size:
+            np.bitwise_or(self.cache, other.cache, out=self.cache)
+        self.update_count()
+
+    def intersection_merge(self, other: "BloomV2") -> None:
+        if not self.has_same_params(other):
+            raise MergeError(
+                "cannot make intersection of bloom filters with different parameters"
+            )
+        np.bitwise_and(self.buckets, other.buckets, out=self.buckets)
+        if self.cache.size:
+            np.bitwise_and(self.cache, other.cache, out=self.cache)
+        self.update_count()
+
+    def count_common_entries(self, other: "BloomV2") -> int:
+        if not self.has_same_params(other):
+            raise MergeError("cannot compare filters with different parameters")
+        return sk.v2_count_common(
+            self.buckets, other.buckets, self.n_buckets, self.n_hash_buck
+        )
+
+    # --- serialization ------------------------------------------------------------------
+    def dumps(self) -> bytes:
+        out = io.BytesIO()
+        out.write(flags_bytes(2, self.opt))
+        out.write(_HDR.pack(self.capacity, self.fpp, self.n_hash_buck, self.count))
+        out.write(struct.pack("<Q", self.cache.size * 8))
+        out.write(self.cache.tobytes())
+        out.write(struct.pack("<Q", self.n_buckets))
+        out.write(self.buckets.tobytes())
+        out.write(self.data)
+        return out.getvalue()
+
+    @classmethod
+    def loads(cls, raw: bytes, partial: bool = False) -> "BloomV2":
+        version, opt, reserved = parse_flags(raw[:8])
+        if version != 2:
+            raise PoppyError(f"invalid version {version}")
+        cap, fpp, n_hash_buck, count = _HDR.unpack_from(raw, 8)
+        check_fpp(fpp)
+        off = 8 + _HDR.size
+        (cache_bits,) = struct.unpack_from("<Q", raw, off)
+        off += 8
+        cache_bytes = math.ceil(cache_bits / 8)
+        cache = (
+            None
+            if partial
+            else np.frombuffer(raw[off : off + cache_bytes], dtype=np.uint8).copy()
+        )
+        off += cache_bytes
+        (n_buckets,) = struct.unpack_from("<Q", raw, off)
+        off += 8
+        nbytes = n_buckets * BUCKET_SIZE
+        if partial:
+            buckets = None
+        else:
+            if len(raw) < off + nbytes:
+                raise PoppyError("truncated v2 filter")
+            buckets = np.frombuffer(raw[off : off + nbytes], dtype=np.uint8).copy()
+        data = raw[off + nbytes :]
+        return cls(
+            cap,
+            fpp,
+            n_hash_buck,
+            n_buckets,
+            cache_bits,
+            count,
+            buckets,
+            cache,
+            data,
+            opt,
+            reserved,
+            partial=partial,
+        )
