@@ -85,7 +85,18 @@ def pack_keys(keys) -> tuple[np.ndarray, np.ndarray]:
     The matrix width is padded to a multiple of 8 plus 32 guard bytes so the
     wyhash kernels can read full words/blocks past short tails safely.
     """
-    bufs = [k.encode("utf-8") if isinstance(k, str) else bytes(k) for k in keys]
+    bufs = []
+    for k in keys:
+        if isinstance(k, str):
+            bufs.append(k.encode("utf-8"))
+        elif isinstance(k, (bytes, bytearray, memoryview)):
+            bufs.append(bytes(k))
+        else:
+            # bytes(int) would silently produce n zero bytes — refuse.
+            raise TypeError(
+                f"sketch keys must be str/bytes, got {type(k).__name__}; "
+                "cast numeric columns to string (the Spark layer does this)"
+            )
     n = len(bufs)
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
     if n == 0:

@@ -1,0 +1,31 @@
+"""Mergeable sketch family (Bloom, HLL, count-min, KLL, t-digest, MinHash).
+
+All follow the update/merge/result contract proven by poppy's Bloom union
+(fixed-size state, elementwise update, commutative+associative merge) so each
+drops into the same two-phase Spark aggregation in
+:mod:`poppy_spark.spark.agg`.
+"""
+
+from .base import Sketch
+from .bloom import BloomSketch
+from .cms import CmsSketch
+from .hll import HllSketch
+from .kll import KllSketch
+from .minhash import MinHashSketch
+from .tdigest import TDigestSketch
+
+SKETCH_KINDS = {
+    cls.kind: cls
+    for cls in (BloomSketch, HllSketch, CmsSketch, KllSketch, TDigestSketch, MinHashSketch)
+}
+
+__all__ = [
+    "Sketch",
+    "BloomSketch",
+    "CmsSketch",
+    "HllSketch",
+    "KllSketch",
+    "MinHashSketch",
+    "TDigestSketch",
+    "SKETCH_KINDS",
+]

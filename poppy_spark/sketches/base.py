@@ -1,0 +1,73 @@
+"""The mergeable-sketch contract all poppy_spark sketches implement.
+
+poppy's Bloom filter proves the pattern (fixed-size state, elementwise
+update, commutative/associative merge, ``poppy/src/bloom.rs:327-340``); the
+same contract powers HLL / count-min / KLL / t-digest / MinHash here, and it
+is exactly Spark's partial-aggregation shape: per-partition ``update_arrow``
+then a tree of ``merge`` calls.
+
+State serialization must be self-describing (``dumps`` -> bytes,
+``loads`` -> sketch) so a serialized partial state can cross the JVM/Python
+boundary as a plain ``BinaryType`` value.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+import numpy as np
+
+
+class Sketch(abc.ABC):
+    """Mergeable sketch: update with an Arrow column, merge, finalize."""
+
+    #: short type tag written into the serialized header
+    kind: str = ""
+
+    @abc.abstractmethod
+    def update_arrow(self, arr) -> None:
+        """Absorb a ``pyarrow.Array`` column chunk (vectorized, no per-row
+        Python)."""
+
+    @abc.abstractmethod
+    def merge(self, other: "Sketch") -> None:
+        """In-place merge; must be commutative and associative."""
+
+    @abc.abstractmethod
+    def dumps(self) -> bytes:
+        ...
+
+    @classmethod
+    @abc.abstractmethod
+    def loads(cls, raw: bytes) -> "Sketch":
+        ...
+
+    @abc.abstractmethod
+    def result(self) -> Any:
+        """The sketch's answer (estimate, signature, quantile fn...)."""
+
+    def finalize_merge(self) -> None:
+        """Normalize state after a distributed merge so the final bytes do not
+        depend on the partition count (e.g. Bloom re-estimates its count field
+        exactly as ``union_merge`` does, ``poppy/src/bloom/v1.rs:411-426``).
+        Default: no-op."""
+
+
+def arrow_to_text_batch(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string/binary column -> (packed byte matrix, lengths)."""
+    from poppy_spark.core.hashkern import pack_arrow
+
+    return pack_arrow(arr)
+
+
+def arrow_to_f64(arr) -> np.ndarray:
+    """Arrow numeric column -> float64 numpy array with nulls dropped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.drop_null()
+    return arr.cast(pa.float64()).to_numpy(zero_copy_only=False)

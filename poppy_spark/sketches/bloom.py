@@ -1,0 +1,73 @@
+"""Bloom membership sketch — the poppy filter wrapped in the Sketch contract.
+
+The serialized state IS a valid poppy v1/v2 file (so partial aggregation
+states can be inspected with any poppy-compatible tool).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from poppy_spark.core import BloomFilter, OptLevel, Params, loads as bloom_loads
+
+from .base import Sketch, arrow_to_text_batch
+
+
+class BloomSketch(Sketch):
+    kind = "bloom"
+
+    def __init__(self, filt: BloomFilter):
+        self.filter = filt
+
+    @classmethod
+    def create(
+        cls,
+        capacity: int,
+        fpp: float = 0.001,
+        version: int = 2,
+        opt: int | OptLevel = OptLevel.NONE,
+    ) -> "BloomSketch":
+        return cls(BloomFilter.with_params(version, capacity, fpp, opt))
+
+    @classmethod
+    def factory(
+        cls,
+        capacity: int,
+        fpp: float = 0.001,
+        version: int = 2,
+        opt: int | OptLevel = OptLevel.NONE,
+    ):
+        """Picklable zero-arg constructor for executors."""
+        o = int(opt)
+
+        def make() -> "BloomSketch":
+            return cls.create(capacity, fpp, version, o)
+
+        return make
+
+    def update_arrow(self, arr) -> None:
+        mat, lens = arrow_to_text_batch(arr)
+        self.filter.insert_packed(mat, lens)
+
+    def update_keys(self, keys) -> None:
+        self.filter.insert_batch(keys)
+
+    def contains_arrow(self, arr) -> np.ndarray:
+        mat, lens = arrow_to_text_batch(arr)
+        return self.filter.contains_packed(mat, lens)
+
+    def merge(self, other: "BloomSketch") -> None:
+        self.filter.union_merge(other.filter)
+
+    def dumps(self) -> bytes:
+        return self.filter.dumps()
+
+    @classmethod
+    def loads(cls, raw: bytes) -> "BloomSketch":
+        return cls(bloom_loads(raw))
+
+    def finalize_merge(self) -> None:
+        self.filter.update_count()
+
+    def result(self) -> int:
+        return self.filter.count_estimate

@@ -1,0 +1,249 @@
+"""Two-phase mergeable-sketch aggregation over Spark DataFrames.
+
+This is the distributed shape of poppy's ``parallel_insert`` (clone filter per
+thread, insert, fold union — ``poppy/src/bin/poppy.rs:232-282``), re-expressed
+Spark-first:
+
+* **update**: ``df.mapInArrow`` builds ONE sketch state per input partition
+  (Arrow batches -> numpy kernels; no per-row Python, no row shuffle);
+* **merge**: a bounded-fan-in tree of ``groupBy().applyInPandas`` stages ORs
+  the partial states together (shuffle volume = n_partitions x state_size,
+  never the data).
+
+Why not a pandas GROUPED_AGG UDF: Spark's grouped-agg pandas UDFs do not
+support partial aggregation — they shuffle raw rows.  ``mapInArrow`` +
+state-merge keeps the combine map-side, which is the only shape that survives
+a 10^12-row table.
+
+Grouped variant: phase 1 emits one state per (partition x group) — shuffling
+sketch states instead of rows; phase 2 merges per group.  Skewed group keys
+therefore cost one state per partition, not one shuffle partition of rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from poppy_spark.sketches.base import Sketch
+
+__all__ = [
+    "build_sketch",
+    "build_sketch_df",
+    "build_sketch_grouped",
+    "sketch_value_column",
+]
+
+
+def _update_fn(factory: Callable[[], Sketch], col_idx: int = 0):
+    def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        sk = factory()
+        n = 0
+        for batch in batches:
+            sk.update_arrow(batch.column(col_idx))
+            n += batch.num_rows
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int64()),
+                pa.array([sk.dumps()], type=pa.binary()),
+                pa.array([n], type=pa.int64()),
+            ],
+            ["pid", "state", "n_rows"],
+        )
+
+    return update
+
+
+def _merge_pdf(factory: Callable[[], Sketch], final: bool = False):
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cls = type(factory())
+        sk = None
+        for raw in pdf["state"]:
+            part = cls.loads(bytes(raw))
+            if sk is None:
+                sk = part
+            else:
+                sk.merge(part)
+        if final:
+            sk.finalize_merge()
+        return pd.DataFrame(
+            {
+                "pid": [int(pdf["pid"].min())],
+                "state": [sk.dumps()],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    return merge
+
+
+_STATES_SCHEMA = "pid bigint, state binary, n_rows bigint"
+
+#: Spark types whose values feed hash-based sketches as utf-8 strings.  Keys
+#: are canonicalized with CAST(.. AS STRING) so that build and probe always
+#: hash identical bytes; binary/string columns pass through untouched.
+_TEXTUAL = ("string", "binary")
+
+
+def _as_key(df: DataFrame, col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    try:
+        dt = df.select(c).schema[0].dataType.simpleString()
+    except Exception:
+        dt = ""
+    if dt in _TEXTUAL:
+        return c
+    return c.cast("string")
+
+
+def build_sketch_df(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[], Sketch],
+    repartition: int | None = None,
+    merge_fanout: int = 64,
+) -> DataFrame:
+    """Distributed sketch build returning a 1-row DataFrame
+    ``(pid, state binary, n_rows)`` — the lazy/composable form.
+
+    ``repartition`` controls update parallelism (and is the salting hook for
+    skewed inputs: a round-robin repartition spreads any hot key).  The merge
+    tree adds stages only when the partition count exceeds ``merge_fanout``,
+    so small jobs stay at two stages total.
+    """
+    sdf = df.select(_as_key(df, col).alias("__key__"))
+    if repartition:
+        sdf = sdf.repartition(repartition)
+    states = sdf.mapInArrow(_update_fn(factory), _STATES_SCHEMA)
+    n_parts = sdf.rdd.getNumPartitions()
+    merge = _merge_pdf(factory)
+    # bounded-fan-in merge tree (poppy folds sequentially; we tree-reduce)
+    while n_parts > merge_fanout:
+        n_parts = (n_parts + merge_fanout - 1) // merge_fanout
+        states = states.groupBy(
+            (F.col("pid") % F.lit(n_parts)).alias("__g")
+        ).applyInPandas(lambda pdf: merge(pdf), _STATES_SCHEMA)
+    final_merge = _merge_pdf(factory, final=True)
+    return states.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        lambda pdf: final_merge(pdf), _STATES_SCHEMA
+    )
+
+
+def build_sketch(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[], Sketch],
+    repartition: int | None = None,
+    merge_fanout: int = 64,
+) -> Sketch:
+    """Distributed sketch build, returning the merged sketch on the driver."""
+    row = build_sketch_df(df, col, factory, repartition, merge_fanout).collect()[0]
+    cls = type(factory())
+    return cls.loads(bytes(row["state"]))
+
+
+def _grouped_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return StructType(
+        list(fields)
+        + [StructField("state", BinaryType()), StructField("n_rows", LongType())]
+    )
+
+
+def build_sketch_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    factory: Callable[[], Sketch],
+) -> DataFrame:
+    """One merged sketch per group: ``(group..., state binary, n_rows)``.
+
+    Phase 1 (map-side combine): each input partition emits one partial state
+    per group it saw.  Phase 2: shuffle *states* by group key and merge.
+    """
+    group_cols = list(group_cols)
+    sel = df.select(*group_cols, _as_key(df, col).alias("__key__"))
+    out_schema = _grouped_schema(df, group_cols)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        states: dict = {}
+        group_arrays: dict = {}
+        for batch in batches:
+            gcols = batch.select(group_cols)
+            key_col = batch.column(len(group_cols))
+            gpdf = gcols.to_pandas()
+            if len(group_cols) == 1:
+                grouped = gpdf.groupby(group_cols[0], dropna=False, sort=False)
+            else:
+                grouped = gpdf.groupby(group_cols, dropna=False, sort=False)
+            for gkey, positions in grouped.indices.items():
+                ent = states.get(gkey)
+                if ent is None:
+                    ent = states[gkey] = [factory(), 0]
+                    group_arrays[gkey] = gpdf.iloc[positions[0]][group_cols]
+                sub = key_col.take(pa.array(positions))
+                ent[0].update_arrow(sub)
+                ent[1] += len(positions)
+        if not states:
+            return
+        rows = {c: [] for c in group_cols}
+        st, nr = [], []
+        for gkey, (sk, n) in states.items():
+            gvals = group_arrays[gkey]
+            for c in group_cols:
+                rows[c].append(gvals[c])
+            st.append(sk.dumps())
+            nr.append(n)
+        out = pd.DataFrame(rows)
+        out["state"] = st
+        out["n_rows"] = nr
+        tbl = pa.Table.from_pandas(out, schema=arrow_schema, preserve_index=False)
+        yield from tbl.to_batches()
+
+    partials = sel.mapInArrow(update, out_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cls = type(factory())
+        sk = None
+        for raw in pdf["state"]:
+            part = cls.loads(bytes(raw))
+            if sk is None:
+                sk = part
+            else:
+                sk.merge(part)
+        sk.finalize_merge()
+        head = pdf.iloc[[0]].copy()
+        head["state"] = [sk.dumps()]
+        head["n_rows"] = [int(pdf["n_rows"].sum())]
+        return head
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+def sketch_value_column(
+    states_df: DataFrame,
+    sketch_cls: type[Sketch],
+    value_name: str = "estimate",
+    value_type: str = "bigint",
+) -> DataFrame:
+    """Append the finalized ``result()`` of each row's state as a column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(value_type)
+    def finalize(states: pd.Series) -> pd.Series:
+        return pd.Series([sketch_cls.loads(bytes(s)).result() for s in states])
+
+    return states_df.withColumn(value_name, finalize(F.col("state")))

@@ -1,0 +1,230 @@
+"""Accuracy-bound, merge-algebra and roundtrip tests for the sketch family.
+
+Every sketch must satisfy: (a) its published error bound against exact numpy
+ground truth, (b) merge(parts) == single build (exactly where the state
+algebra is idempotent: HLL max, CMS add, MinHash min, Bloom or), (c)
+serialization roundtrip, (d) merge commutativity.
+"""
+
+import collections
+
+import numpy as np
+import pytest
+
+from poppy_spark.sketches import (
+    BloomSketch,
+    CmsSketch,
+    HllSketch,
+    KllSketch,
+    MinHashSketch,
+    TDigestSketch,
+)
+
+
+class TestHll:
+    def test_estimate_within_bound(self):
+        h = HllSketch(14)
+        h.update_keys([f"user-{i}" for i in range(200000)])
+        est = h.estimate()
+        assert abs(est - 200000) / 200000 < 3 * h.relative_error()
+
+    def test_small_range_linear_counting(self):
+        h = HllSketch(12)
+        h.update_keys([f"u{i}" for i in range(100)])
+        assert h.result() == pytest.approx(100, abs=3)
+
+    def test_merge_equals_single_build(self):
+        keys = [f"user-{i}" for i in range(50000)]
+        single = HllSketch(12)
+        single.update_keys(keys)
+        a, b = HllSketch(12), HllSketch(12)
+        a.update_keys(keys[:30000])
+        b.update_keys(keys[20000:])  # overlapping on purpose
+        a.merge(b)
+        assert a.dumps() == single.dumps()
+
+    def test_merge_commutative(self):
+        a1, a2 = HllSketch(10), HllSketch(10)
+        b1, b2 = HllSketch(10), HllSketch(10)
+        a1.update_keys(["x", "y"]); a2.update_keys(["z"])
+        b1.update_keys(["z"]); b2.update_keys(["x", "y"])
+        a1.merge(a2); b1.merge(b2)
+        assert a1.dumps() == b1.dumps()
+
+    def test_roundtrip(self):
+        h = HllSketch(11)
+        h.update_keys(["a", "b", "c"])
+        r = HllSketch.loads(h.dumps())
+        assert r.p == 11 and (r.registers == h.registers).all()
+
+    def test_precision_mismatch(self):
+        with pytest.raises(ValueError):
+            HllSketch(10).merge(HllSketch(11))
+
+
+class TestCms:
+    def _data(self):
+        rng = np.random.default_rng(42)
+        zipf = rng.zipf(1.3, 100000)
+        return [f"k{z}" for z in zipf[zipf < 5000]]
+
+    def test_bounds(self):
+        keys = self._data()
+        c = CmsSketch(w=4096, d=5)
+        c.update_keys(keys)
+        true = collections.Counter(keys)
+        qk = list(true.keys())
+        est = c.query_keys(qk)
+        n = len(keys)
+        assert all(est[i] >= true[k] for i, k in enumerate(qk)), "CMS must never undercount"
+        over = sum(1 for i, k in enumerate(qk) if est[i] > true[k] + c.eps * n)
+        assert over <= max(2, 2 * c.delta * len(qk))
+
+    def test_merge_equals_single(self):
+        keys = self._data()
+        c = CmsSketch(w=2048, d=4)
+        c.update_keys(keys)
+        a, b = CmsSketch(w=2048, d=4), CmsSketch(w=2048, d=4)
+        a.update_keys(keys[:40000])
+        b.update_keys(keys[40000:])
+        a.merge(b)
+        assert (a.table == c.table).all()
+        assert a.total() == len(keys)
+
+    def test_roundtrip(self):
+        c = CmsSketch(w=512, d=3)
+        c.update_keys(["a", "a", "b"])
+        r = CmsSketch.loads(c.dumps())
+        assert (r.table == c.table).all()
+        assert r.query_keys(["a"])[0] == 2
+
+    def test_from_error(self):
+        c = CmsSketch.from_error(eps=0.001, delta=0.01)
+        assert c.eps <= 0.001 and c.delta <= 0.01
+
+
+class TestKll:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(7)
+        vals = rng.normal(0, 1, 300000)
+        sk = KllSketch(200)
+        for chunk in np.array_split(vals, 30):
+            sk.update_values(chunk)
+        svals = np.sort(vals)
+        for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+            true_rank = np.searchsorted(svals, sk.quantile(q)) / len(svals)
+            assert abs(true_rank - q) < sk.eps(), q
+
+    def test_merge_preserves_bound(self):
+        rng = np.random.default_rng(8)
+        vals = rng.exponential(2.0, 200000)
+        parts = np.array_split(vals, 8)
+        sk = KllSketch(200)
+        others = []
+        for p in parts:
+            o = KllSketch(200)
+            o.update_values(p)
+            others.append(o)
+        sk = others[0]
+        for o in others[1:]:
+            sk.merge(o)
+        assert sk.n == len(vals)
+        svals = np.sort(vals)
+        for q in [0.1, 0.5, 0.9]:
+            true_rank = np.searchsorted(svals, sk.quantile(q)) / len(svals)
+            assert abs(true_rank - q) < sk.eps(), q
+
+    def test_exact_when_small(self):
+        sk = KllSketch(200)
+        sk.update_values(np.arange(100, dtype=float))
+        assert sk.quantile(0.0) == 0.0
+        assert sk.quantile(1.0) == 99.0
+        assert sk.quantile(0.5) == pytest.approx(50, abs=1)
+
+    def test_roundtrip(self):
+        sk = KllSketch(100)
+        sk.update_values(np.random.default_rng(1).random(5000))
+        r = KllSketch.loads(sk.dumps())
+        assert r.n == sk.n and r.quantile(0.5) == sk.quantile(0.5)
+
+
+class TestTDigest:
+    def test_mid_and_tail_accuracy(self):
+        rng = np.random.default_rng(9)
+        vals = rng.normal(0, 1, 300000)
+        td = TDigestSketch(200)
+        for chunk in np.array_split(vals, 30):
+            td.update_values(chunk)
+        svals = np.sort(vals)
+        for q in [0.1, 0.5, 0.9]:
+            tr = np.searchsorted(svals, td.quantile(q)) / len(svals)
+            assert abs(tr - q) < 0.01, q
+        for q in [0.001, 0.999]:
+            tr = np.searchsorted(svals, td.quantile(q)) / len(svals)
+            assert abs(tr - q) < 0.5 * min(q, 1 - q) + 1e-4, q
+
+    def test_merge(self):
+        rng = np.random.default_rng(10)
+        vals = rng.random(100000)
+        a, b = TDigestSketch(100), TDigestSketch(100)
+        a.update_values(vals[:50000])
+        b.update_values(vals[50000:])
+        a.merge(b)
+        assert a.total_weight() == len(vals)
+        assert a.quantile(0.5) == pytest.approx(0.5, abs=0.01)
+
+    def test_roundtrip(self):
+        td = TDigestSketch(100)
+        td.update_values(np.arange(1000, dtype=float))
+        r = TDigestSketch.loads(td.dumps())
+        assert r.quantile(0.25) == td.quantile(0.25)
+
+
+class TestMinHash:
+    def test_jaccard_estimate(self):
+        a, b = MinHashSketch(256), MinHashSketch(256)
+        a.update_keys([f"tok{i}" for i in range(10000)])
+        b.update_keys([f"tok{i}" for i in range(5000, 15000)])
+        assert a.jaccard(b) == pytest.approx(1 / 3, abs=3 / np.sqrt(256))
+
+    def test_merge_equals_single(self):
+        keys = [f"t{i}" for i in range(5000)]
+        single = MinHashSketch(128)
+        single.update_keys(keys)
+        a, b = MinHashSketch(128), MinHashSketch(128)
+        a.update_keys(keys[:3000])
+        b.update_keys(keys[3000:])
+        a.merge(b)
+        assert (a.sig == single.sig).all()
+
+    def test_identical_sets_jaccard_one(self):
+        a, b = MinHashSketch(64), MinHashSketch(64)
+        a.update_keys(["x", "y", "z"])
+        b.update_keys(["z", "x", "y"])
+        assert a.jaccard(b) == 1.0
+
+    def test_roundtrip(self):
+        a = MinHashSketch(64)
+        a.update_keys(["p", "q"])
+        assert (MinHashSketch.loads(a.dumps()).sig == a.sig).all()
+
+
+class TestBloomSketchAdapter:
+    def test_state_is_valid_poppy_file(self):
+        from poppy_spark.core import loads as bloom_loads
+
+        sk = BloomSketch.create(1000, 0.01)
+        sk.update_keys(["alpha", "beta"])
+        f = bloom_loads(sk.dumps())
+        assert f.contains_bytes("alpha") and f.contains_bytes("beta")
+        assert not f.contains_bytes("gamma")
+
+    def test_factory_pickles(self):
+        # Spark ships closures with cloudpickle, so that is what must work
+        from pyspark import cloudpickle as pickle
+
+        f = BloomSketch.factory(100, 0.01)
+        f2 = pickle.loads(pickle.dumps(f))
+        sk = f2()
+        sk.update_keys(["x"])
+        assert sk.result() == 1

@@ -1,0 +1,135 @@
+"""Spark-level tests: two-phase aggregation, broadcast probe, grouped builds,
+and the north-rule merge-determinism property (identical final state bytes
+across independent partition orderings)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from poppy_spark.sketches import BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch
+from poppy_spark.spark.agg import (
+    build_sketch,
+    build_sketch_df,
+    build_sketch_grouped,
+    sketch_value_column,
+)
+from poppy_spark.spark.probe import bloom_anti_join, bloom_contains, bloom_semi_join
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+
+
+class TestBloomBuildProbe:
+    def test_zero_false_negatives_semi_join(self, spark, orders, lineitem):
+        n = orders.count()
+        sk = build_sketch(orders, "o_orderkey", BloomSketch.factory(n, 0.001))
+        # every lineitem orderkey exists in orders -> zero misses allowed
+        assert bloom_anti_join(lineitem, "l_orderkey", sk.dumps()).count() == 0
+        assert bloom_semi_join(lineitem, "l_orderkey", sk.dumps()).count() == lineitem.count()
+
+    def test_distributed_equals_driver_build(self, spark, orders):
+        """treeReduce result == local sequential build (after count norm)."""
+        n = orders.count()
+        dist = build_sketch(orders, "o_orderkey", BloomSketch.factory(n, 0.001))
+        keys = [str(r[0]) for r in orders.select("o_orderkey").collect()]
+        local = BloomSketch.create(n, 0.001)
+        local.update_keys(keys)
+        local.filter.update_count()  # distributed path re-estimates after merge
+        assert dist.dumps() == local.dumps()
+
+    def test_partition_ordering_determinism(self, spark, orders):
+        """North rule: byte-identical final state across independent
+        partition orderings (merge associativity + commutativity)."""
+        n = orders.count()
+        factory = BloomSketch.factory(n, 0.001)
+        states = []
+        for parts in (3, 7, 16):
+            sk = build_sketch(orders.repartition(parts), "o_orderkey", factory)
+            states.append(sk.dumps())
+        assert states[0] == states[1] == states[2]
+
+    def test_merge_tree_multi_stage(self, spark, orders):
+        n = orders.count()
+        df = build_sketch_df(
+            orders.repartition(16), "o_orderkey", BloomSketch.factory(n, 0.001), merge_fanout=4
+        )
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0]["n_rows"] == n
+
+    def test_fpr_bound_on_probes(self, spark, orders, lineitem):
+        n = orders.count()
+        sk = build_sketch(orders, "o_orderkey", BloomSketch.factory(n, 0.01))
+        # non-member probes: synthetic keys guaranteed absent
+        probes = lineitem.select(
+            F.concat(F.lit("absent-key-"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("p")
+        )
+        n_probes = probes.count()
+        fp = bloom_contains(probes, "p", sk.dumps(), "hit").filter("hit").count()
+        assert fp / n_probes <= 0.01 * 2.0, f"fp rate {fp / n_probes}"
+
+
+class TestGrouped:
+    def test_grouped_bloom_counts(self, spark, orders):
+        factory = BloomSketch.factory(2000, 0.001)
+        g = build_sketch_grouped(orders, "o_orderkey", ["o_orderpriority"], factory)
+        got = {
+            r["o_orderpriority"]: (r["n_rows"], r["est"])
+            for r in sketch_value_column(g, BloomSketch, "est").collect()
+        }
+        exact = dict(orders.groupBy("o_orderpriority").count().collect())
+        assert set(got) == set(exact)
+        for k, (n_rows, est) in got.items():
+            assert n_rows == exact[k]
+            # count field is re-estimated from popcount after the merge
+            # (update_count semantics) — formula error grows with load
+            assert est == pytest.approx(exact[k], rel=0.10)
+
+    def test_grouped_hll_distinct(self, spark, sf_dir):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        g = build_sketch_grouped(events, "user_id", ["event_type"], HllSketch.factory(12))
+        got = {r["event_type"]: r["est"] for r in sketch_value_column(g, HllSketch, "est").collect()}
+        exact = {
+            r["event_type"]: r["n"]
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for k, est in got.items():
+            assert est == pytest.approx(exact[k], rel=3 * 1.04 / (2**6)), k
+
+
+class TestValueSketchesOnSpark:
+    def test_kll_quantile_bound(self, spark, sf_dir):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sk = build_sketch(events, "value", KllSketch.factory(200))
+        n = events.count()
+        for q in (0.1, 0.5, 0.9):
+            est = sk.quantile(q)
+            true_rank = events.filter(F.col("value") <= est).count() / n
+            assert abs(true_rank - q) <= sk.eps() + 0.002, q
+
+    def test_tdigest_quantile(self, spark, sf_dir):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sk = build_sketch(events, "value", TDigestSketch.factory(200))
+        n = events.count()
+        est = sk.quantile(0.99)
+        true_rank = events.filter(F.col("value") <= est).count() / n
+        assert abs(true_rank - 0.99) < 0.005
+
+    def test_cms_frequencies(self, spark, sf_dir):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sk = build_sketch(events, "event_type", CmsSketch.factory(w=65536, d=5))
+        exact = dict(events.groupBy("event_type").count().collect())
+        n = sum(exact.values())
+        assert sk.total() == n
+        est = sk.query_keys(list(exact))
+        for i, k in enumerate(exact):
+            assert exact[k] <= est[i] <= exact[k] + sk.eps * n
