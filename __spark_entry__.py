@@ -1,38 +1,364 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operators from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` gives the DuckDB
+ANSI-SQL ground truth for each.  Approximate sketches are gated through
+*exact-matchable* outputs: the query returns exact values (computed with
+Spark's exact aggregates, which must agree with DuckDB) plus boolean
+``within_bound`` columns asserting the sketch's published error bound —
+so the value-hash comparison is deterministic while still failing if a
+sketch breaks its guarantee.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_HLL_P = 14
+_HLL_TOL = 3 * 1.04 / (2 ** (_HLL_P / 2))  # 3 standard errors
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Bloom membership (poppy core: insert/check/union — SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LEFT SEMI JOIN: lineitem keys through a bloom of orders.
+    All probes are members, so zero false negatives => exact result."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+    from poppy_spark.spark.probe import bloom_semi_join
+
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    sk = build_sketch(orders, "o_orderkey", BloomSketch.factory(orders.count(), 0.001))
+    probes = lineitem.select("l_orderkey").distinct()
+    return bloom_semi_join(probes, "l_orderkey", sk.dumps())
+
+
+def q_bloom_anti_join_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-FN + FPR-bound gate: members must all hit; synthesized
+    non-members may false-positive at most 2x the configured fpp."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+    from poppy_spark.spark.probe import bloom_contains
+
+    orders = _read(spark, sf_dir, "orders")
+    fpp = 0.01
+    sk = build_sketch(orders, "o_orderkey", BloomSketch.factory(orders.count(), fpp))
+    members = orders.select(F.col("o_orderkey").cast("string").alias("probe"), F.lit(True).alias("is_member"))
+    nonmembers = orders.select(
+        F.format_string("nonmember-%09d", F.col("o_orderkey")).alias("probe"),
+        F.lit(False).alias("is_member"),
+    )
+    probes = members.unionAll(nonmembers)
+    hits = bloom_contains(probes, "probe", sk.dumps(), "hit")
+    agg = hits.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("is_member") & ~F.col("hit"), 1).otherwise(0)).alias("n_members_missed"),
+        (
+            F.sum(F.when(~F.col("is_member") & F.col("hit"), 1).otherwise(0))
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        ).alias("fp_rate"),
+    )
+    return agg.select(
+        "n_probed",
+        "n_members_missed",
+        (F.col("fp_rate") <= F.lit(fpp * 2.0)).alias("fp_within_bound"),
+    )
+
+
+def q_bloom_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom count_estimate (approx COUNT DISTINCT analog, bloom.rs:393-400)
+    must land within 5% of the exact distinct count."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    n_exact = docs.select("text").distinct().count()
+    sk = build_sketch(docs.select("text").distinct(), "text", BloomSketch.factory(n_exact, 0.001))
+    est = sk.result()
+    ok = abs(est - n_exact) <= max(0.05 * n_exact, 2)
+    return spark.createDataFrame([(n_exact, ok)], "n_exact bigint, within_5pct boolean")
+
+
+def q_bloom_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule: byte-identical final state across independent partition
+    orderings (union associativity + commutativity)."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    n = orders.count()
+    factory = BloomSketch.factory(n, 0.001)
+    states = [
+        build_sketch(orders.repartition(p), "o_orderkey", factory).dumps()
+        for p in (3, 8, 17)
+    ]
+    agree = states[0] == states[1] == states[2]
+    return spark.createDataFrame([(n, agree)], "n_rows bigint, orderings_agree boolean")
+
+
+def q_bloom_count_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_common_entries (approximate join-cardinality, bloom.rs:343-356):
+    customers-with-orders via AND-popcount of two blooms, within 15%."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    cap = customer.count()
+    factory = BloomSketch.factory(cap, 0.001)
+    b_cust = build_sketch(customer, "c_custkey", factory)
+    b_ord = build_sketch(orders.select("o_custkey").distinct(), "o_custkey", factory)
+    est = b_cust.filter.count_common_entries(b_ord.filter)
+    n_exact = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_semi")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    ok = abs(est - n_exact) <= max(0.15 * n_exact, 5)
+    return spark.createDataFrame([(n_exact, ok)], "n_exact bigint, within_bound boolean")
+
+
+# --------------------------------------------------------------------------
+# HLL distinct counts per group / time bucket (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+
+def _hll_grouped(spark, df, key, group_col_expr, group_name, group_type):
+    from poppy_spark.sketches import HllSketch
+    from poppy_spark.spark.agg import build_sketch_grouped, sketch_value_column
+
+    gdf = df.select(group_col_expr.alias(group_name), F.col(key).alias("__k"))
+    states = build_sketch_grouped(gdf, "__k", [group_name], HllSketch.factory(_HLL_P))
+    ests = sketch_value_column(states, HllSketch, "est").select(group_name, "est")
+    exact = gdf.groupBy(group_name).agg(F.countDistinct("__k").alias("n_exact"))
+    joined = exact.join(ests, group_name)
+    return joined.select(
+        group_name,
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.greatest(F.lit(_HLL_TOL) * F.col("n_exact"), F.lit(3.0))
+        ).alias("within_bound"),
+    )
+
+
+def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return _hll_grouped(spark, events, "user_id", F.col("event_type"), "event_type", "string")
+
+
+def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return _hll_grouped(spark, events, "user_id", F.date_trunc("day", F.col("ts")), "day", "timestamp")
+
+
+# --------------------------------------------------------------------------
+# Count-min frequency per key (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+
+def q_cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from poppy_spark.sketches import CmsSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    events = _read(spark, sf_dir, "events")
+    sk = build_sketch(events, "event_type", CmsSketch.factory(w=65536, d=5))
+    exact = {r[0]: r[1] for r in events.groupBy("event_type").count().collect()}
+    n_total = sum(exact.values())
+    ests = sk.query_keys(list(exact))
+    rows = []
+    for i, k in enumerate(exact):
+        est = int(ests[i])
+        ok = exact[k] <= est <= exact[k] + sk.eps * n_total
+        rows.append((k, exact[k], ok))
+    return spark.createDataFrame(rows, "event_type string, n_exact bigint, within_bound boolean")
+
+
+# --------------------------------------------------------------------------
+# Quantiles: KLL median and t-digest p99 per group (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+
+def _quantile_gate(spark, sf_dir, factory, sketch_cls, q, tol):
+    from poppy_spark.spark.agg import build_sketch_grouped
+
+    events = _read(spark, sf_dir, "events")
+    states = build_sketch_grouped(events, "value", ["event_type"], factory)
+    est_by_type = {
+        r["event_type"]: sketch_cls.loads(bytes(r["state"])).quantile(q)
+        for r in states.collect()
+    }
+    est_map = F.create_map(*[F.lit(x) for kv in est_by_type.items() for x in kv])
+    ranks = (
+        events.withColumn("__est", est_map[F.col("event_type")])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.avg((F.col("value") <= F.col("__est")).cast("double")).alias("rank"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("rank") - F.lit(q)) <= F.lit(tol)).alias("within_bound"),
+    )
+
+
+def q_kll_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from poppy_spark.sketches import KllSketch
+
+    return _quantile_gate(spark, sf_dir, KllSketch.factory(200), KllSketch, 0.5, 3.0 / 200 + 0.005)
+
+
+def q_tdigest_value_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from poppy_spark.sketches import TDigestSketch
+
+    return _quantile_gate(spark, sf_dir, TDigestSketch.factory(200), TDigestSketch, 0.99, 0.01)
+
+
+# --------------------------------------------------------------------------
+# MinHash set similarity between document sources (dedup family)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from poppy_spark.sketches import MinHashSketch
+    from poppy_spark.spark.agg import build_sketch_grouped
+
+    docs = _read(spark, sf_dir, "documents")
+    states = build_sketch_grouped(docs, "text", ["source"], MinHashSketch.factory(128))
+    sigs = {r["source"]: MinHashSketch.loads(bytes(r["state"])) for r in states.collect()}
+    # exact jaccard per pair via exact distinct counts
+    texts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.countDistinct("text").alias("n")).collect()
+    }
+    inter = {
+        (r["sa"], r["sb"]): r["n"]
+        for r in docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"), F.col("a.text"))
+        .distinct()
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    tol = 3.0 / (128 ** 0.5)
+    rows = []
+    srcs = sorted(sigs)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            ni = inter.get((a, b), 0)
+            true_j = ni / (texts[a] + texts[b] - ni) if (texts[a] + texts[b] - ni) else 0.0
+            est_j = sigs[a].jaccard(sigs[b])
+            rows.append((a, b, abs(est_j - true_j) <= tol + 0.02))
+    return spark.createDataFrame(rows, "source_a string, source_b string, within_bound boolean")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup + text analysis (training-data pipeline family)
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"))
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias("n_tokens"),
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Bloom-accelerated semi-join on sf0.001."""
+    return q_bloom_semi_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bloom_semi_join": q_bloom_semi_join,
+        "bloom_anti_join_bounds": q_bloom_anti_join_bounds,
+        "bloom_count_estimate": q_bloom_count_estimate,
+        "bloom_merge_invariance": q_bloom_merge_invariance,
+        "bloom_count_common": q_bloom_count_common,
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_users_by_day": q_hll_users_by_day,
+        "cms_event_type_freq": q_cms_event_type_freq,
+        "kll_value_median": q_kll_value_median,
+        "tdigest_value_p99": q_tdigest_value_p99,
+        "minhash_source_overlap": q_minhash_source_overlap,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "token_stats": q_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hll_by = "SELECT {g} AS {n}, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound FROM events GROUP BY 1"
+    return {
+        "bloom_semi_join": "SELECT DISTINCT l_orderkey FROM lineitem",
+        "bloom_anti_join_bounds": (
+            "SELECT 2 * COUNT(*) AS n_probed, 0 AS n_members_missed, TRUE AS fp_within_bound FROM orders"
+        ),
+        "bloom_count_estimate": (
+            "SELECT COUNT(DISTINCT text) AS n_exact, TRUE AS within_5pct FROM documents"
+        ),
+        "bloom_merge_invariance": (
+            "SELECT COUNT(*) AS n_rows, TRUE AS orderings_agree FROM orders"
+        ),
+        "bloom_count_common": (
+            "SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_bound FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer)"
+        ),
+        "hll_users_by_type": hll_by.format(g="event_type", n="event_type"),
+        "hll_users_by_day": hll_by.format(g="CAST(date_trunc('day', ts) AS TIMESTAMP)", n="day"),
+        "cms_event_type_freq": (
+            "SELECT event_type, COUNT(*) AS n_exact, TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "kll_value_median": (
+            "SELECT event_type, COUNT(*) AS n_exact, TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "tdigest_value_p99": (
+            "SELECT event_type, COUNT(*) AS n_exact, TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "minhash_source_overlap": (
+            "SELECT a.source AS source_a, b.source AS source_b, TRUE AS within_bound "
+            "FROM (SELECT DISTINCT source FROM documents) a "
+            "JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source"
+        ),
+        "exact_dedup_groups": (
+            "SELECT md5(text) AS text_hash, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "token_stats": (
+            "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens, "
+            "length(text) = n_chars AS chars_ok FROM documents"
+        ),
+    }
