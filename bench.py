@@ -1,0 +1,120 @@
+"""Benchmark harness: headline sketch queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The headline figure mirrors the reference bench (``poppy/src/bin/poppy.rs:
+411-556``): bulk Bloom build + membership probe, reported both as seconds and
+as M keys/sec.  Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``bench/scaling.py`` (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from poppy_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="poppy-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from poppy_spark.sketches import (
+        BloomSketch, CmsSketch, HllSketch, KllSketch, MinHashSketch, TDigestSketch,
+    )
+    from poppy_spark.spark.agg import build_sketch, build_sketch_grouped
+    from poppy_spark.spark.probe import bloom_contains
+
+    ncpu = int(cpus)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(ncpu).cache()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(ncpu).cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(min(ncpu, 8)).cache()
+    n_line = lineitem.count()
+    n_events = events.count()
+    docs.count()
+    # warm the Python workers (imports, numpy page-in) before timing,
+    # mirroring the reference's repeated-run protocol (bin/poppy.rs:127-129)
+    from poppy_spark.sketches import BloomSketch as _B
+    from poppy_spark.spark.agg import build_sketch as _bs
+    _bs(lineitem.limit(10000), "l_orderkey", _B.factory(10000, 0.01))
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def bench(name, fn, runs=2):
+        best, out = float("inf"), None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        return out
+
+    # 1. bulk bloom build (insert) over all lineitem keys
+    n_keys = lineitem.select("l_orderkey").distinct().count()
+    factory = BloomSketch.factory(n_keys, 0.001)
+    sk = bench(
+        "bloom_build",
+        lambda: build_sketch(lineitem, "l_orderkey", factory),
+    )
+    # 2. membership probe of every row (the `check` path)
+    bench(
+        "bloom_probe",
+        lambda: bloom_contains(lineitem, "l_orderkey", sk.dumps(), "hit")
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect(),
+    )
+    throughput["bloom_insert_M_keys_per_sec"] = round(n_line / timings["bloom_build"] / 1e6, 3)
+    throughput["bloom_probe_M_keys_per_sec"] = round(n_line / timings["bloom_probe"] / 1e6, 3)
+
+    # 3. grouped HLL distinct users per event_type
+    bench(
+        "hll_grouped",
+        lambda: build_sketch_grouped(events, "user_id", ["event_type"], HllSketch.factory(14)).collect(),
+    )
+    # 4. CMS frequencies over event_type
+    bench("cms_build", lambda: build_sketch(events, "event_type", CmsSketch.factory(65536, 5)))
+    # 5. KLL median of value
+    kll = bench("kll_build", lambda: build_sketch(events, "value", KllSketch.factory(200)))
+    kll.quantile(0.5)
+    # 6. t-digest p99
+    td = bench("tdigest_build", lambda: build_sketch(events, "value", TDigestSketch.factory(200)))
+    td.quantile(0.99)
+    # 7. MinHash signatures per doc source
+    bench(
+        "minhash_grouped",
+        lambda: build_sketch_grouped(docs, "text", ["source"], MinHashSketch.factory(128)).collect(),
+    )
+    throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sketch suite wall-clock (bloom build+probe, grouped hll, cms, kll, tdigest, minhash)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "throughput": throughput,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

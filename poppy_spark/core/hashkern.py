@@ -69,12 +69,19 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     maxlen = int(lens.max())
     width = ((maxlen + 7) // 8) * 8 + 40
     mat = np.zeros((n, width), dtype=U8)
-    if lens.sum() > 0:
-        mask = np.arange(width)[None, :] < lens[:, None]
-        # gather the valid byte ranges in row order
+    total = int(lens.sum())
+    if total > 0:
+        # O(total_bytes) scatter: destination position of every source byte
         starts = offsets[:-1]
-        flat_idx = starts[:, None] + np.arange(width)[None, :]
-        mat[mask] = data[flat_idx[mask]]
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cum = np.concatenate([[0], np.cumsum(lens[:-1])])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+        seg_contiguous = bool((offsets[1:] - starts == lens).all())
+        if seg_contiguous:
+            src = data[starts[0] : starts[0] + total]
+        else:  # nulls / slicing left gaps — gather explicitly
+            src = data[np.repeat(starts, lens) + intra]
+        mat.reshape(-1)[row_ids * width + intra] = src
     return mat, lens
 
 
@@ -229,14 +236,15 @@ def wyhash_batch(mat: np.ndarray, lens: np.ndarray, seed: int = POPPY_SEED) -> n
 
 def hash_pop_batch(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """poppy typed-key hash for a batch: LE identity for <=8 bytes, wyhash else
-    (``poppy/src/hash.rs:52-63``)."""
+    (``poppy/src/hash.rs:52-63``).  wyhash is only evaluated on the long-key
+    subset — short-key-heavy batches (numeric ids, roles) cost one u64 view."""
     short = lens <= 8
-    out = wyhash_batch(mat, lens, POPPY_SEED)
+    out = np.empty(mat.shape[0], dtype=U64)
     if short.any():
-        words = mat[:, :8].copy().view("<u8").reshape(-1)
-        # zero the bytes beyond len for short keys (matrix is zero padded so
-        # only needed if reused buffers ever contain junk — it does not here)
-        out = np.where(short, words, out)
+        out[short] = np.ascontiguousarray(mat[short, :8]).view("<u8").reshape(-1)
+    long = ~short
+    if long.any():
+        out[long] = wyhash_batch(np.ascontiguousarray(mat[long]), lens[long], POPPY_SEED)
     return out
 
 

@@ -57,17 +57,37 @@ def count_estimate_from_ones(bit_len: int, ones: int, n_hash: int) -> int:
 
 def _first_occurrence_new(
     pre_set: np.ndarray, bit_ids: np.ndarray, n: int, k: int
-) -> np.ndarray:
-    """Per-key 'sets at least one new bit' flags under sequential semantics.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key 'sets at least one new bit' flags under sequential semantics,
+    plus the sorted unique global bit ids (reused for the OR-scatter).
 
-    ``pre_set``/``bit_ids`` are (n, k): pre-batch bit values and global bit ids.
+    ``pre_set``/``bit_ids`` are flat (n*k,): pre-batch bit values and global
+    bit ids in key-major order.
     """
+    import pandas as pd
+
     flat_ids = bit_ids.reshape(-1)
-    _, first_idx = np.unique(flat_ids, return_index=True)
-    first = np.zeros(flat_ids.shape[0], dtype=bool)
-    first[first_idx] = True
+    # hash-table first-occurrence (no sort): True at the first position of
+    # each distinct bit id, in batch order
+    first = ~pd.Series(flat_ids).duplicated().to_numpy()
     newbit = (~pre_set.reshape(-1)) & first
-    return newbit.reshape(n, k).any(axis=1)
+    new_bits = flat_ids[newbit]  # unique bit ids that flip 0 -> 1
+    return newbit.reshape(n, k).any(axis=1), new_bits
+
+
+def _or_scatter_bits(dest_bytes: np.ndarray, uniq_bits: np.ndarray) -> None:
+    """OR unique global bit ids into a byte array without sorting or
+    ``bitwise_or.at``: bits sharing a byte differ in their in-byte position,
+    so splitting by position (8 groups) makes every group's byte targets
+    unique — 8 plain fancy-OR assignments."""
+    if uniq_bits.size == 0:
+        return
+    byte_ids = uniq_bits >> 3
+    pos = (uniq_bits & 7).astype(U8)
+    for j in range(8):
+        sel = pos == j
+        if sel.any():
+            dest_bytes[byte_ids[sel]] |= np.uint8(1 << j)
 
 
 def _check_capacity(new_per_key: np.ndarray, count: int, capacity: int) -> None:
@@ -100,19 +120,21 @@ def v2_insert_batch(
     n, k_ = idx.shape
     if n == 0:
         return count, np.zeros(0, dtype=bool)
-    byte_off = (ibucket.astype(np.int64) * BUCKET_SIZE)[:, None] + (
-        idx.astype(np.int64) >> 3
-    )
-    bitmask = (np.uint8(1) << (idx.astype(U8) & U8(7))).astype(U8)
+    # all index math in uint64 (16x faster than int64 broadcasts on some
+    # numpy builds); one astype to intp right before fancy indexing
+    bit_ids = (
+        (ibucket.astype(U64) * U64(BUCKET_BITS))[:, None] + idx.astype(U64)
+    ).reshape(-1)
+    byte_off = (bit_ids >> U64(3)).astype(np.int64)
+    bitmask = (np.uint8(1) << (bit_ids & U64(7)).astype(U8)).astype(U8)
     pre_set = (buckets[byte_off] & bitmask) != 0
-    bit_ids = (ibucket.astype(np.int64) * BUCKET_BITS)[:, None] + idx.astype(np.int64)
-    new_per_key = _first_occurrence_new(pre_set, bit_ids, n, k_)
+    new_per_key, new_bits = _first_occurrence_new(pre_set, bit_ids, n, k_)
     _check_capacity(new_per_key, count, capacity)
-    np.bitwise_or.at(buckets, byte_off.reshape(-1), bitmask.reshape(-1))
+    _or_scatter_bits(buckets, new_bits)
     if cache is not None and cache.size:
-        cbits = cache.size * 8
-        cidx = (bucket_hash.astype(np.int64)) & (cbits - 1)
-        np.bitwise_or.at(cache, cidx >> 3, (np.uint8(1) << (cidx & 7).astype(U8)))
+        cbits = U64(cache.size * 8)
+        cidx = np.unique(bucket_hash.astype(U64) & (cbits - U64(1)))
+        _or_scatter_bits(cache, cidx)
     return count + int(new_per_key.sum()), new_per_key
 
 
@@ -125,20 +147,21 @@ def v2_contains_batch(
     capacity: int,
 ) -> np.ndarray:
     """Membership for a batch against a v2 state -> bool (n,)."""
-    n, _ = idx.shape
+    n, k_ = idx.shape
     if n == 0:
         return np.zeros(0, dtype=bool)
     if capacity == 0:
         return np.zeros(n, dtype=bool)
-    byte_off = (ibucket.astype(np.int64) * BUCKET_SIZE)[:, None] + (
-        idx.astype(np.int64) >> 3
-    )
-    bitmask = (np.uint8(1) << (idx.astype(U8) & U8(7))).astype(U8)
-    hit = ((buckets[byte_off] & bitmask) != 0).all(axis=1)
+    bit_ids = (ibucket.astype(U64) * U64(BUCKET_BITS))[:, None] + idx.astype(U64)
+    flat = bit_ids.reshape(-1)
+    byte_off = (flat >> U64(3)).astype(np.int64)
+    bitmask = (np.uint8(1) << (flat & U64(7)).astype(U8)).astype(U8)
+    hit = ((buckets[byte_off] & bitmask) != 0).reshape(n, k_).all(axis=1)
     if cache is not None and cache.size:
-        cbits = cache.size * 8
-        cidx = (bucket_hash.astype(np.int64)) & (cbits - 1)
-        in_cache = (cache[cidx >> 3] & (np.uint8(1) << (cidx & 7).astype(U8))) != 0
+        cbits = U64(cache.size * 8)
+        cidx = bucket_hash.astype(U64) & (cbits - U64(1))
+        cbyte = (cidx >> U64(3)).astype(np.int64)
+        in_cache = (cache[cbyte] & (np.uint8(1) << (cidx & U64(7)).astype(U8))) != 0
         hit &= in_cache
     return hit
 
@@ -194,21 +217,26 @@ def v1_insert_batch(
     n, k_ = idx.shape
     if n == 0:
         return count, np.zeros(0, dtype=bool)
-    iblock = (idx >> U64(6)).astype(np.int64)
-    bit = U64(1) << (idx & U64(63))
-    pre_set = (words[iblock] & bit) != 0
-    new_per_key = _first_occurrence_new(pre_set, idx.astype(np.int64), n, k_)
+    flat = idx.astype(U64).reshape(-1)
+    byte_off = (flat >> U64(3)).astype(np.int64)
+    bitmask = (np.uint8(1) << (flat & U64(7)).astype(U8)).astype(U8)
+    wb = words.view(U8)
+    pre_set = (wb[byte_off] & bitmask) != 0
+    new_per_key, new_bits = _first_occurrence_new(pre_set, flat, n, k_)
     _check_capacity(new_per_key, count, capacity)
-    np.bitwise_or.at(words, iblock.reshape(-1), bit.reshape(-1))
+    # on the little-endian u64 word layout, global bit i lives in flat byte
+    # i>>3 at in-byte position i&7 — identical to the byte-bitset order
+    _or_scatter_bits(wb, new_bits)
     return count + int(new_per_key.sum()), new_per_key
 
 
 def v1_contains_batch(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    n, _ = idx.shape
+    n, k_ = idx.shape
     if n == 0:
         return np.zeros(0, dtype=bool)
     if words.size == 0:
         return np.zeros(n, dtype=bool)
-    iblock = (idx >> U64(6)).astype(np.int64)
-    bit = U64(1) << (idx & U64(63))
-    return ((words[iblock] & bit) != 0).all(axis=1)
+    flat = idx.astype(U64).reshape(-1)
+    byte_off = (flat >> U64(3)).astype(np.int64)
+    bitmask = (np.uint8(1) << (flat & U64(7)).astype(U8)).astype(U8)
+    return ((words.view(U8)[byte_off] & bitmask) != 0).reshape(n, k_).all(axis=1)

@@ -61,6 +61,26 @@ def arrow_to_text_batch(arr) -> tuple[np.ndarray, np.ndarray]:
     return pack_arrow(arr)
 
 
+def arrow_to_hashes(arr, seed: int) -> np.ndarray:
+    """Arrow column -> uint64 hash values.
+
+    Integer columns are treated as *pre-hashed* (the JVM computed xxhash64
+    before shipping — 8 bytes/row across the JVM/Python boundary instead of
+    the raw text); anything else goes through the batch wyhash kernel.
+    """
+    import pyarrow as pa
+
+    from poppy_spark.core.hashkern import pack_arrow, wyhash_batch
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return vals.astype(np.int64).view(np.uint64)
+    mat, lens = pack_arrow(arr)
+    return wyhash_batch(mat, lens, seed)
+
+
 def arrow_to_f64(arr) -> np.ndarray:
     """Arrow numeric column -> float64 numpy array with nulls dropped."""
     import pyarrow as pa

@@ -20,7 +20,7 @@ import numpy as np
 
 from poppy_spark.core.hashkern import wyhash_batch
 
-from .base import Sketch, arrow_to_text_batch
+from .base import Sketch, arrow_to_hashes
 
 #: distinct seed so HLL bits are independent from the Bloom pipeline
 HLL_SEED = 0x686C6C5F706F7070  # b"hll_popp" BE
@@ -56,6 +56,9 @@ def _alpha(m: int) -> float:
 
 class HllSketch(Sketch):
     kind = "hll"
+    #: the Spark layer may pre-hash keys JVM-side (xxhash64) and ship only
+    #: 8 bytes/row — HLL needs any single well-mixed 64-bit hash
+    prehash_jvm = True
 
     def __init__(self, p: int = 14, registers: np.ndarray | None = None):
         if not 4 <= p <= 18:
@@ -82,8 +85,7 @@ class HllSketch(Sketch):
         np.maximum.at(self.registers, j, rho)
 
     def update_arrow(self, arr) -> None:
-        mat, lens = arrow_to_text_batch(arr)
-        self.update_hashes(wyhash_batch(mat, lens, HLL_SEED))
+        self.update_hashes(arrow_to_hashes(arr, HLL_SEED))
 
     def update_keys(self, keys) -> None:
         from poppy_spark.core.hashkern import pack_keys

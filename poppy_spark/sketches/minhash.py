@@ -16,7 +16,7 @@ import numpy as np
 
 from poppy_spark.core.hashkern import wyhash_batch
 
-from .base import Sketch, arrow_to_text_batch
+from .base import Sketch, arrow_to_hashes
 
 MINHASH_SEED = 0x6D696E685F706F70  # b"minh_pop" BE
 _P61 = np.uint64((1 << 61) - 1)
@@ -42,6 +42,9 @@ def perm_hashes(h: np.ndarray, n_perms: int) -> np.ndarray:
 
 class MinHashSketch(Sketch):
     kind = "minhash"
+    #: signatures compare only against signatures built through the same
+    #: pipeline, so JVM xxhash64 pre-hashing is sound here too
+    prehash_jvm = True
 
     def __init__(self, n_perms: int = 128, sig: np.ndarray | None = None):
         self.n_perms = n_perms
@@ -65,8 +68,7 @@ class MinHashSketch(Sketch):
         np.minimum(self.sig, vals.min(axis=0), out=self.sig)
 
     def update_arrow(self, arr) -> None:
-        mat, lens = arrow_to_text_batch(arr)
-        self.update_hashes(wyhash_batch(mat, lens, MINHASH_SEED))
+        self.update_hashes(arrow_to_hashes(arr, MINHASH_SEED))
 
     def update_keys(self, keys) -> None:
         from poppy_spark.core.hashkern import pack_keys

@@ -106,6 +106,16 @@ def _as_key(df: DataFrame, col: str | Column) -> Column:
     return c.cast("string")
 
 
+def _key_expr(df: DataFrame, col: str | Column, factory: Callable[[], Sketch]) -> Column:
+    """Pick the cheapest sound key representation for the sketch: sketches
+    that accept any 64-bit hash get JVM-side xxhash64 (8 bytes/row across the
+    JVM->Python boundary instead of the raw text); poppy-compatible sketches
+    need the raw bytes."""
+    if getattr(factory(), "prehash_jvm", False):
+        return F.xxhash64(_as_key(df, col))
+    return _as_key(df, col)
+
+
 def build_sketch_df(
     df: DataFrame,
     col: str,
@@ -121,11 +131,19 @@ def build_sketch_df(
     tree adds stages only when the partition count exceeds ``merge_fanout``,
     so small jobs stay at two stages total.
     """
-    sdf = df.select(_as_key(df, col).alias("__key__"))
-    if repartition:
-        sdf = sdf.repartition(repartition)
-    states = sdf.mapInArrow(_update_fn(factory), _STATES_SCHEMA)
+    sdf = df.select(_key_expr(df, col, factory).alias("__key__"))
     n_parts = sdf.rdd.getNumPartitions()
+    if repartition is None:
+        # a small file count must not serialize the update phase: spread the
+        # scan across the cluster (scale inputs arrive with plenty of splits,
+        # so this only fires for toy inputs)
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if n_parts < cores:
+            repartition = cores
+    if repartition and repartition != n_parts:
+        sdf = sdf.repartition(repartition)
+        n_parts = repartition
+    states = sdf.mapInArrow(_update_fn(factory), _STATES_SCHEMA)
     merge = _merge_pdf(factory)
     # bounded-fan-in merge tree (poppy folds sequentially; we tree-reduce)
     while n_parts > merge_fanout:
@@ -172,7 +190,7 @@ def build_sketch_grouped(
     per group it saw.  Phase 2: shuffle *states* by group key and merge.
     """
     group_cols = list(group_cols)
-    sel = df.select(*group_cols, _as_key(df, col).alias("__key__"))
+    sel = df.select(*group_cols, _key_expr(df, col, factory).alias("__key__"))
     out_schema = _grouped_schema(df, group_cols)
     from pyspark.sql.pandas.types import to_arrow_schema
 

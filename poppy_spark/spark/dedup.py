@@ -1,0 +1,268 @@
+"""Deduplication operators for large text corpora — exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Everything here compiles to built-in Spark expressions (split / explode /
+xxhash64 / wide algebraic aggregates) so the hot path stays inside
+whole-stage codegen with map-side partial aggregation — no Python UDFs.
+Per-document MinHash is computed as 128 JVM-side ``min`` aggregates over the
+exploded shingle stream; the shuffle carries one signature per document, not
+the shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: deterministic universal-hash coefficients shared by all call sites
+_MASK63 = (1 << 63) - 1
+
+
+def _perm_coeffs(n_perms: int, seed: int = 1_000_003) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MASK63, size=n_perms, dtype=np.int64)
+    b = rng.integers(0, _MASK63, size=n_perms, dtype=np.int64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def normalized_words(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(text_hash, n_copies, doc_ids) for every exactly-duplicated text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.collect_list(F.col(id_col)).alias("doc_ids"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per distinct text (deterministic survivor)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding (all JVM-side)
+# --------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) — word k-shingles of the normalized text."""
+    words = normalized_words(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perms: int = 128, k: int = 3
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures.
+
+    One xxhash64 per shingle, then ``n_perms`` universal-hash minima as wide
+    algebraic aggregates — partial aggregation keeps the shuffle at one
+    signature per document.
+    """
+    a, b = _perm_coeffs(n_perms)
+    sh = shingles(df, text_col, id_col, k)
+    h = F.xxhash64(F.col("shingle"))
+    mins = [
+        F.min(F.pmod(F.lit(a[i]) * h + F.lit(b[i]), F.lit(_MASK63))).alias(f"m{i}")
+        for i in range(n_perms)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(n_perms)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(id_a, id_b) candidate near-duplicate pairs via banded LSH.
+
+    Documents sharing any band bucket become candidates; a pair with Jaccard
+    similarity s survives with probability 1 - (1 - s^r)^b.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        i, F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard_est) — matching-slot fraction of the signatures."""
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        (matches / F.size(F.col("sig_a"))).cast("double").alias("jaccard_est"),
+    )
+
+
+def exact_ngram_jaccard(
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, k: int = 3
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact shingle-set Jaccard for candidate pairs
+    (the verify stage after LSH)."""
+    sh = shingles(df, text_col, id_col, k).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # count common shingles per pair via join on shingle
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("double").alias("jaccard"),
+        )
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_perms: int = 128,
+    bands: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact-verify.
+
+    Returns (id_a, id_b, jaccard) for pairs with exact shingle Jaccard >=
+    ``threshold``.  Zero false negatives among exact duplicates (identical
+    texts share every band bucket)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perms, k)
+    cands = lsh_candidate_pairs(sigs, bands, n_perms // bands)
+    verified = exact_ngram_jaccard(df, text_col, id_col, cands, k)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) — JVM-side weighted bit votes
+# --------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash bigint) — classic 64-bit SimHash over word tokens.
+
+    Exploded token hashes vote +-1 per bit position; 64 algebraic ``sum``
+    aggregates (map-side combinable) then bit reassembly."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_words(F.col(text_col))).alias("w"),
+    )
+    h = F.xxhash64(F.col("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash distance <= ``max_hamming``,
+    blocked on 16-bit chunks (a pair within distance 3 must agree on at least
+    one of the 4 chunks)."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

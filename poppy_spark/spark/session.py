@@ -21,7 +21,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16k-row Arrow batches keep each kernel invocation's working set
+        # L2-resident — measured to be the difference between flat and ~8x
+        # degraded per-core throughput at 32-way parallelism on this host
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

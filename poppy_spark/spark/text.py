@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All built-in Spark expressions (split / regexp / aggregate / xxhash64) —
+JVM-side, whole-stage-codegen friendly, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "are", "this", "not", "you"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que",
+           "pour", "dans", "qui", "pas", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "für", "auf", "von", "dem", "den", "sich"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "por", "con", "para", "del"],
+}
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.size(_words(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored token estimate: word-piece regex splits on word
+    boundaries, digits, and punctuation runs (roughly GPT-2-pretokenizer
+    shaped), counting pieces rather than bytes."""
+    pieces = F.filter(
+        F.split(text, r"(?=[^\w])|(?<=[^\w])|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
+        lambda p: F.trim(p) != "",
+    )
+    return F.size(pieces).cast("bigint")
+
+
+def text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Append n_tokens / n_chars / punct_ratio / digit_ratio / upper_ratio /
+    mean_word_len / whitespace_ratio columns."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    safe = F.greatest(n_chars, F.lit(1))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    words = _words(t)
+    return (
+        df.withColumn("n_chars_txt", n_chars.cast("bigint"))
+        .withColumn("n_tokens", F.size(words).cast("bigint"))
+        .withColumn("punct_ratio", (n_punct / safe).cast("double"))
+        .withColumn("digit_ratio", (n_digit / safe).cast("double"))
+        .withColumn("upper_ratio", (n_upper / safe).cast("double"))
+        .withColumn("whitespace_ratio", (n_space / safe).cast("double"))
+        .withColumn(
+            "mean_word_len",
+            (
+                F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+                / F.greatest(F.size(words), F.lit(1))
+            ).cast("double"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, output_col: str = "quality") -> DataFrame:
+    """Heuristic [0,1] quality score: penalizes extreme length, high
+    punctuation/digit density, and low stopword ratio — the standard cheap
+    pre-filter shape for web-scale corpus cleaning."""
+    stats = text_stats(df, text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    words = _words(F.col(text_col))
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(sw, w))) / F.greatest(
+        F.size(words), F.lit(1)
+    )
+    len_ok = F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), 1.0).otherwise(0.3)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.4)
+    digit_ok = F.when(F.col("digit_ratio") <= 0.3, 1.0).otherwise(0.5)
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.6)
+    return stats.withColumn(
+        output_col, (len_ok * punct_ok * digit_ok * stop_ok).cast("double")
+    )
+
+
+def detect_language(df: DataFrame, text_col: str, output_col: str = "lang_guess") -> DataFrame:
+    """Stopword-vote language id over the supported language set; 'und' when
+    nothing matches.  Cheap n-gram-free heuristic adequate for routing."""
+    words = _words(F.col(text_col))
+    scores = []
+    for lang, sws in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in sws])
+        score = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        output_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, output_col: str = "fingerprint") -> DataFrame:
+    """Order-insensitive 64-bit content fingerprint: XOR of the token-set
+    hashes (stable under token reordering and duplication)."""
+    words = F.array_distinct(_words(F.col(text_col)))
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc.bitwiseXOR(F.xxhash64(w)),
+    )
+    return df.withColumn(output_col, fp)

@@ -1,0 +1,212 @@
+"""Tests for dedup (exact / MinHash+LSH / SimHash), text analysis, and
+embedding similarity operators — exact ground truth computed independently."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "a completely different document about spark aggregation and sketches",
+        "numerical linear algebra is the heart of scientific computing today",
+        "streaming systems process unbounded data with watermarks and state",
+        "the cat sat on the mat and looked at the quick brown fox outside",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))  # exact duplicate
+        words = t.split()
+        words[3] = "XYZ"  # near duplicate (one word changed)
+        rows.append((i * 10 + 2, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+class TestExactDedup:
+    def test_groups(self, corpus):
+        from poppy_spark.spark.dedup import exact_duplicate_groups
+
+        groups = exact_duplicate_groups(corpus, "text", "doc_id").collect()
+        assert len(groups) == 5
+        assert all(g["n_copies"] == 2 for g in groups)
+
+    def test_drop_keeps_smallest_id(self, corpus):
+        from poppy_spark.spark.dedup import drop_exact_duplicates
+
+        kept = drop_exact_duplicates(corpus, "text", "doc_id")
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert kept.count() == 10
+        for i in range(5):
+            assert i * 10 in ids and i * 10 + 1 not in ids and i * 10 + 2 in ids
+
+
+class TestMinHashLsh:
+    def test_signatures_match_for_identical_texts(self, corpus):
+        from poppy_spark.spark.dedup import minhash_signatures
+
+        sigs = {r["id"]: r["sig"] for r in minhash_signatures(corpus, "text", "doc_id", 64).collect()}
+        for i in range(5):
+            assert sigs[i * 10] == sigs[i * 10 + 1]
+
+    def test_exact_duplicates_always_candidates(self, corpus):
+        from poppy_spark.spark.dedup import lsh_candidate_pairs, minhash_signatures
+
+        sigs = minhash_signatures(corpus, "text", "doc_id", 64)
+        pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, 16, 4).collect()}
+        for i in range(5):
+            assert (i * 10, i * 10 + 1) in pairs
+
+    def test_near_duplicate_pipeline(self, corpus):
+        from poppy_spark.spark.dedup import near_duplicate_pairs
+
+        found = near_duplicate_pairs(corpus, "text", "doc_id", threshold=0.6, n_perms=64, bands=16)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in found.collect()}
+        # exact duplicates score 1.0
+        for i in range(5):
+            assert got.get((i * 10, i * 10 + 1)) == pytest.approx(1.0)
+        # cross-topic pairs are never near-duplicates
+        assert all(a // 10 == b // 10 for (a, b) in got)
+
+    def test_minhash_jaccard_close_to_exact(self, corpus):
+        from poppy_spark.spark.dedup import (
+            exact_ngram_jaccard,
+            lsh_candidate_pairs,
+            minhash_jaccard,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(corpus, "text", "doc_id", 128)
+        pairs = lsh_candidate_pairs(sigs, 32, 4)
+        est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in minhash_jaccard(sigs, pairs).collect()}
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in exact_ngram_jaccard(corpus, "text", "doc_id", pairs).collect()
+        }
+        for p, e in exact.items():
+            assert est[p] == pytest.approx(e, abs=3 / np.sqrt(128))
+
+
+class TestSimHash:
+    def test_identical_texts_same_hash(self, corpus):
+        from poppy_spark.spark.dedup import simhash64
+
+        sh = {r["id"]: r["simhash"] for r in simhash64(corpus, "text", "doc_id").collect()}
+        for i in range(5):
+            assert sh[i * 10] == sh[i * 10 + 1]
+
+    def test_near_pairs_include_duplicates(self, corpus):
+        from poppy_spark.spark.dedup import simhash_near_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(corpus, "text", "doc_id", 10).collect()}
+        for i in range(5):
+            assert pairs.get((i * 10, i * 10 + 1)) == 0
+
+
+class TestTextAnalysis:
+    def test_token_counts_exact(self, spark):
+        from poppy_spark.spark.text import token_count
+
+        df = spark.createDataFrame(
+            [("one two three",), ("  spaced   out  ",), ("", ), ("single",)],
+            "text string",
+        )
+        got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+        assert got == [3, 2, 0, 1]
+
+    def test_text_stats(self, spark):
+        from poppy_spark.spark.text import text_stats
+
+        df = spark.createDataFrame([("Hello, World 123!",)], "text string")
+        r = text_stats(df, "text").collect()[0]
+        assert r["n_tokens"] == 3
+        assert r["n_chars_txt"] == 17
+        assert r["digit_ratio"] == pytest.approx(3 / 17)
+        assert r["upper_ratio"] == pytest.approx(2 / 17)
+
+    def test_language_detection(self, spark):
+        from poppy_spark.spark.text import detect_language
+
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog are in the house", "en"),
+                ("le chat est dans la maison avec les enfants", "fr"),
+                ("der hund ist nicht mit der katze", "de"),
+                ("el perro y el gato en la casa", "es"),
+                ("zzz qqq xxx", "und"),
+            ],
+            "text string, expected string",
+        )
+        rows = detect_language(df, "text").collect()
+        for r in rows:
+            assert r["lang_guess"] == r["expected"], r["text"]
+
+    def test_quality_score_ranges(self, spark):
+        from poppy_spark.spark.text import quality_score
+
+        df = spark.createDataFrame(
+            [
+                ("the quick brown fox jumps over the lazy dog near the river bank",),
+                ("!!! ??? *** ### $$$ %%% ^^^ &&&",),
+            ],
+            "text string",
+        )
+        rows = quality_score(df, "text").collect()
+        assert rows[0]["quality"] > rows[1]["quality"]
+
+    def test_fingerprint_order_insensitive(self, spark):
+        from poppy_spark.spark.text import doc_fingerprint
+
+        df = spark.createDataFrame(
+            [("alpha beta gamma",), ("gamma alpha beta",), ("alpha beta delta",)],
+            "text string",
+        )
+        fps = [r["fingerprint"] for r in doc_fingerprint(df, "text").collect()]
+        assert fps[0] == fps[1]
+        assert fps[0] != fps[2]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((200, 16)).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache(), vecs
+
+    def test_cosine_topk_exact(self, vectors):
+        from poppy_spark.spark.similarity import cosine_topk
+
+        df, vecs = vectors
+        queries = df.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        got = cosine_topk(df, queries, "vec_id", "embedding", "qid", k=5).collect()
+        # numpy ground truth
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = nv @ nv[:3].T
+        for qid in range(3):
+            expected = list(np.argsort(-sims[:, qid])[:5])
+            mine = [r["id"] for r in sorted((r for r in got if r["query_id"] == qid), key=lambda r: r["rank"])]
+            assert mine == expected
+            assert mine[0] == qid  # self is the nearest
+
+    def test_lsh_topk_recall(self, vectors):
+        from poppy_spark.spark.similarity import lsh_topk
+
+        df, vecs = vectors
+        queries = df.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        got = lsh_topk(df, queries, "vec_id", "embedding", "qid", k=5, dim=16, n_planes=6, n_tables=6)
+        rows = got.collect()
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = nv @ nv[:3].T
+        hits = 0
+        for qid in range(3):
+            expected = set(np.argsort(-sims[:, qid])[:5])
+            mine = {r["id"] for r in rows if r["query_id"] == qid}
+            hits += len(expected & mine)
+        assert hits / 15 >= 0.5  # recall of the scale path vs brute force
+        # self must always collide (identical vector, identical buckets)
+        for qid in range(3):
+            assert qid in {r["id"] for r in rows if r["query_id"] == qid}
