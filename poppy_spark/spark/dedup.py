@@ -11,19 +11,7 @@ the shingles.
 
 from __future__ import annotations
 
-import numpy as np
-
 from pyspark.sql import Column, DataFrame, functions as F
-
-#: deterministic universal-hash coefficients shared by all call sites
-_MASK63 = (1 << 63) - 1
-
-
-def _perm_coeffs(n_perms: int, seed: int = 1_000_003) -> tuple[list[int], list[int]]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MASK63, size=n_perms, dtype=np.int64)
-    b = rng.integers(0, _MASK63, size=n_perms, dtype=np.int64)
-    return [int(x) for x in a], [int(x) for x in b]
 
 
 def normalized_words(text: Column) -> Column:
@@ -81,11 +69,11 @@ def minhash_signatures(
     algebraic aggregates — partial aggregation keeps the shuffle at one
     signature per document.
     """
-    a, b = _perm_coeffs(n_perms)
     sh = shingles(df, text_col, id_col, k)
-    h = F.xxhash64(F.col("shingle"))
+    # one independent hash family member per permutation: xxhash64 over
+    # (shingle, perm index) — JVM-native, overflow-free under ANSI mode
     mins = [
-        F.min(F.pmod(F.lit(a[i]) * h + F.lit(b[i]), F.lit(_MASK63))).alias(f"m{i}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
         for i in range(n_perms)
     ]
     agg = sh.groupBy("id").agg(*mins)

@@ -1,0 +1,120 @@
+"""Structured Streaming integration for mergeable sketches.
+
+The reference is a pure batch library; its incremental story is "load filter,
+insert new entries, save" (``poppy/src/bin/poppy.rs:320-335``).  The streaming
+analog here: ``foreachBatch`` folds each micro-batch through the same
+two-phase aggregation and unions the result into a checkpointed state — the
+sketch state *is* the streaming state, and merge associativity makes
+micro-batch boundaries invisible in the final bytes.
+
+For grouped sketches, a watermarked window + grouped build per micro-batch
+appends (window, group, state) rows that downstream readers merge on read.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from poppy_spark.sketches.base import Sketch
+
+
+class StreamingSketch:
+    """Maintains one merged sketch across micro-batches.
+
+    Use as the ``foreachBatch`` callback::
+
+        ss = StreamingSketch("/ckpt/turns_bloom", BloomSketch.factory(10**7, 1e-3))
+        q = (stream.writeStream.foreachBatch(ss)
+             .option("checkpointLocation", "/ckpt/turns_bloom/offsets").start())
+
+    The state file is written atomically after every batch; a restarted query
+    resumes from it (exactly-once per micro-batch is inherited from the sink
+    checkpoint — re-processing a batch is harmless for idempotent updates
+    like Bloom/HLL/MinHash, and documented as at-least-once for CMS counts).
+    """
+
+    def __init__(self, directory: str, factory: Callable[[], Sketch], col: str = "value"):
+        self.dir = directory
+        self.factory = factory
+        self.col = col
+        os.makedirs(directory, exist_ok=True)
+        self._state_path = os.path.join(directory, "stream.state")
+
+    def current(self) -> Sketch:
+        cls = type(self.factory())
+        if os.path.exists(self._state_path):
+            with open(self._state_path, "rb") as f:
+                return cls.loads(f.read())
+        return self.factory()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from poppy_spark.spark.agg import build_sketch
+
+        if batch_df.isEmpty():
+            return
+        delta = build_sketch(batch_df, self.col, self.factory)
+        merged = self.current()
+        merged.merge(delta)
+        merged.finalize_merge()
+        tmp = self._state_path + f".tmp{batch_id}"
+        with open(tmp, "wb") as f:
+            f.write(merged.dumps())
+        os.replace(tmp, self._state_path)
+
+
+def windowed_grouped_sketch_sink(
+    stream: DataFrame,
+    col: str,
+    group_cols: list[str],
+    factory: Callable[[], Sketch],
+    out_path: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """writeStream pipeline appending (window, group..., state, n_rows) per
+    micro-batch; readers union states per (window, group) — late data within
+    the watermark lands as extra mergeable rows rather than updates."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from poppy_spark.spark.agg import build_sketch_grouped
+
+        if batch_df.isEmpty():
+            return
+        g = batch_df.withColumn("window", F.window(F.col(ts_col), window).start)
+        states = build_sketch_grouped(g, col, ["window", *group_cols], factory)
+        states.write.mode("append").parquet(out_path)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+    )
+
+
+def merge_grouped_states(
+    spark_df: DataFrame, group_cols: list[str], factory: Callable[[], Sketch]
+) -> DataFrame:
+    """Merge appended (group..., state, n_rows) rows down to one per group —
+    the read-side compaction for :func:`windowed_grouped_sketch_sink`."""
+    import pandas as pd
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cls = type(factory())
+        sk = None
+        for raw in pdf["state"]:
+            part = cls.loads(bytes(raw))
+            if sk is None:
+                sk = part
+            else:
+                sk.merge(part)
+        sk.finalize_merge()
+        head = pdf.iloc[[0]].copy()
+        head["state"] = [sk.dumps()]
+        head["n_rows"] = [int(pdf["n_rows"].sum())]
+        return head
+
+    return spark_df.groupBy(*group_cols).applyInPandas(merge, spark_df.schema)
