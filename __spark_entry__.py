@@ -293,6 +293,81 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation/digit counts per document — exact SQL-expressible text
+    statistics from the text-analysis family."""
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("bigint").alias("n_digits"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))).cast("bigint").alias("n_spaces"),
+    )
+
+
+def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate recall on exact duplicates: duplicate every document
+    under a shifted id; every (i, i+offset) pair must be an LSH candidate
+    (identical texts share all band buckets) — n_missed must be 0."""
+    from poppy_spark.spark.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    dup = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    both = docs.unionAll(dup)
+    sigs = minhash_signatures(both, "text", "doc_id", n_perms=64, k=3)
+    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    found = cands.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    return spark.createDataFrame(
+        [(n, n - found)], "n_docs bigint, n_missed bigint"
+    )
+
+
+def q_simhash_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash of an exact duplicate is identical: count hamming-0 pairs
+    among (doc, shifted-copy) — must equal the document count."""
+    from poppy_spark.spark.dedup import simhash64
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    dup = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    sh = simhash64(docs.unionAll(dup), "text", "doc_id")
+    a = sh.filter(F.col("id") < 1_000_000).select(F.col("id").alias("ia"), F.col("simhash").alias("ha"))
+    b = sh.filter(F.col("id") >= 1_000_000).select((F.col("id") - 1_000_000).alias("ia"), F.col("simhash").alias("hb"))
+    n_h0 = a.join(b, "ia").filter(F.col("ha") == F.col("hb")).count()
+    return spark.createDataFrame([(n, n_h0)], "n_docs bigint, n_hamming0 bigint")
+
+
+def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine nearest neighbor (excluding self) for the
+    first 10 embedding vectors — matched against DuckDB's
+    list_cosine_similarity."""
+    from poppy_spark.spark.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top = cosine_topk(emb, queries, "vec_id", "embedding", "qid", k=2)
+    return (
+        top.filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("id").alias("nn_id"))
+        .select(F.col("query_id").cast("bigint"), F.col("nn_id").cast("bigint"))
+    )
+
+
+def q_transcripts_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator determinism: regenerating the transcripts table yields zero
+    row differences (per-turn text equality under stable ordering)."""
+    from poppy_spark.data.transcripts import generate_transcripts
+
+    a = generate_transcripts(spark, n_convs=300, seed=42)
+    b = generate_transcripts(spark, n_convs=300, seed=42)
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return spark.createDataFrame([(diff == 0,)], "stable boolean")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -318,6 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_source_overlap": q_minhash_source_overlap,
         "exact_dedup_groups": q_exact_dedup_groups,
         "token_stats": q_token_stats,
+        "text_ratios": q_text_ratios,
+        "lsh_dedup_recall": q_lsh_dedup_recall,
+        "simhash_duplicates": q_simhash_duplicates,
+        "cosine_top1": q_cosine_top1,
+        "transcripts_invariance": q_transcripts_invariance,
     }
 
 
@@ -361,4 +441,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens, "
             "length(text) = n_chars AS chars_ok FROM documents"
         ),
+        "text_ratios": (
+            "SELECT doc_id, "
+            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, "
+            "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces "
+            "FROM documents"
+        ),
+        "lsh_dedup_recall": (
+            "SELECT COUNT(*) AS n_docs, 0 AS n_missed FROM documents"
+        ),
+        "simhash_duplicates": (
+            "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_hamming0 FROM documents"
+        ),
+        "cosine_top1": (
+            "SELECT a.vec_id AS query_id, "
+            "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id != a.vec_id "
+            " ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id ASC "
+            " LIMIT 1) AS nn_id "
+            "FROM embeddings a WHERE a.vec_id < 10"
+        ),
+        "transcripts_invariance": "SELECT TRUE AS stable",
     }
