@@ -1,0 +1,191 @@
+"""poppy-compatible CLI: ``python -m poppy_spark COMMAND ...``
+
+Mirrors the reference binary's surface (``poppy/src/bin/poppy.rs``):
+
+* ``create [-c CAP] [-p FPP] [--version V] [-O OPT] FILTER [FILES...]`` —
+  new filter; with input files, capacity defaults to the exact line count
+  (``bin/poppy.rs:288-319``).
+* ``insert FILTER [FILES...]`` — load, insert lines (stdin if no files), save.
+* ``check [--verify] FILTER [FILES...]`` — print contained entries, or with
+  ``--verify`` print ``NOK: <entry>`` for misses (``bin/poppy.rs:337-410``).
+* ``show FILTER`` — metadata via a partial (header-only) read.
+* ``bench [-p FPP] [--runs N] [--fp-tol T] FILES...`` — seeded mutation
+  sweep; FAILS if avg FPR > fpp*(1+tol) (``bin/poppy.rs:411-556``).
+
+Files are line-delimited text, one entry per line, like the reference.
+Batch kernels process lines in 64k chunks; use the Spark API for
+table-scale inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from poppy_spark.core import BloomFilter, OptLevel, load, loads
+
+CHUNK = 65536
+
+
+def _iter_chunks(paths: list[str]):
+    if not paths:
+        buf = [line.rstrip("\n").encode() for line in sys.stdin]
+        for i in range(0, len(buf), CHUNK):
+            yield buf[i : i + CHUNK]
+        return
+    for p in paths:
+        with open(p, "rb") as f:
+            buf = []
+            for line in f:
+                buf.append(line.rstrip(b"\n"))
+                if len(buf) >= CHUNK:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+
+def _count_lines(paths: list[str]) -> int:
+    return sum(len(c) for c in _iter_chunks(paths))
+
+
+def cmd_create(args) -> int:
+    cap = args.capacity
+    if args.files:
+        cap = _count_lines(args.files)
+    bf = BloomFilter.with_params(args.version, cap, args.fpp, OptLevel(args.opt))
+    for chunk in _iter_chunks(args.files):
+        bf.insert_batch(chunk)
+    bf.save(args.filter)
+    return 0
+
+
+def cmd_insert(args) -> int:
+    bf = load(args.filter)
+    for chunk in _iter_chunks(args.files):
+        bf.insert_batch(chunk)
+    bf.save(args.filter)
+    return 0
+
+
+def cmd_check(args) -> int:
+    bf = load(args.filter)
+    for chunk in _iter_chunks(args.files):
+        hits = bf.contains_batch(chunk)
+        for entry, hit in zip(chunk, hits):
+            if hit and not args.verify:
+                sys.stdout.write(entry.decode(errors="replace") + "\n")
+            elif args.verify and not hit:
+                sys.stdout.write("NOK: " + entry.decode(errors="replace") + "\n")
+    return 0
+
+
+def cmd_show(args) -> int:
+    bf = load(args.filter, partial=True)
+    for k, v in bf.info().items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    # dedup lines, build, sweep mutation probability 0..100% with a fixed
+    # seed, measure qps and empirical FPR; fail past fpp*(1+tol)
+    lines: list[bytes] = []
+    seen = set()
+    for chunk in _iter_chunks(args.files):
+        for e in chunk:
+            if e not in seen:
+                seen.add(e)
+                lines.append(e)
+    bf = BloomFilter.with_capacity(len(lines), args.fpp)
+    t0 = time.perf_counter()
+    bf.insert_batch(lines)
+    insert_dur = time.perf_counter() - t0
+    print(f"entries: {len(lines)}  insert: {len(lines)/insert_dur:,.0f} entries/s")
+
+    rng = np.random.default_rng(42)
+    fpps = []
+    for mut_prob in range(0, 101, 10):
+        mutated, is_mut = [], []
+        flips = rng.integers(0, 101, size=len(lines))
+        for i, e in enumerate(lines):
+            if flips[i] < mut_prob and e:
+                xor = rng.integers(0, 256, size=len(e), dtype=np.uint8)
+                mutated.append(bytes(np.frombuffer(e, np.uint8) ^ xor))
+                is_mut.append(True)
+            else:
+                mutated.append(e)
+                is_mut.append(False)
+        durs = []
+        hits = None
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            hits = bf.contains_batch(mutated)
+            durs.append(time.perf_counter() - t0)
+        qps = len(lines) / (sum(durs) / len(durs))
+        fp = tn = 0
+        tested = set()
+        for i, m in enumerate(is_mut):
+            e = mutated[i]
+            if m and e not in seen and e not in tested:
+                if hits[i]:
+                    fp += 1
+                else:
+                    tn += 1
+            tested.add(e)
+        if fp + tn:
+            rate = fp / (fp + tn)
+            fpps.append(rate)
+            print(f"mut {mut_prob:3d}%  qps {qps:,.0f}  fpr {rate:.5f}")
+    avg = sum(fpps) / len(fpps) if fpps else 0.0
+    print(f"avg fpr: {avg:.5f} (bound {args.fpp * (1 + args.fp_tol):.5f})")
+    if avg > args.fpp * (1.0 + args.fp_tol):
+        print("FAIL: empirical FPR exceeds bound", file=sys.stderr)
+        return 1
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="poppy_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create")
+    c.add_argument("-c", "--capacity", type=int, default=10000)
+    c.add_argument("-p", "--fpp", type=float, default=0.01)
+    c.add_argument("--version", type=int, default=2)
+    c.add_argument("-O", "--opt", type=int, default=0)
+    c.add_argument("filter")
+    c.add_argument("files", nargs="*")
+    c.set_defaults(fn=cmd_create)
+
+    i = sub.add_parser("insert")
+    i.add_argument("filter")
+    i.add_argument("files", nargs="*")
+    i.set_defaults(fn=cmd_insert)
+
+    k = sub.add_parser("check")
+    k.add_argument("--verify", action="store_true")
+    k.add_argument("filter")
+    k.add_argument("files", nargs="*")
+    k.set_defaults(fn=cmd_check)
+
+    s = sub.add_parser("show")
+    s.add_argument("filter")
+    s.set_defaults(fn=cmd_show)
+
+    b = sub.add_parser("bench")
+    b.add_argument("-p", "--fpp", type=float, default=0.001)
+    b.add_argument("--runs", type=int, default=5)
+    b.add_argument("--fp-tol", type=float, default=0.2)
+    b.add_argument("files", nargs="+")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""CLI parity tests: create/insert/check/show/bench mirror the reference
+binary's behavior (``poppy/src/bin/poppy.rs``)."""
+
+import io
+import os
+import sys
+
+import pytest
+
+from poppy_spark.__main__ import main
+from poppy_spark.core import load
+
+
+@pytest.fixture()
+def wordfile(tmp_path):
+    p = tmp_path / "words.txt"
+    p.write_text("".join(f"word-{i:05d}\n" for i in range(5000)))
+    return str(p)
+
+
+class TestCli:
+    def test_create_uses_exact_line_count_as_capacity(self, tmp_path, wordfile):
+        out = str(tmp_path / "f.pop")
+        assert main(["create", "-p", "0.01", out, wordfile]) == 0
+        bf = load(out)
+        assert bf.capacity == 5000
+        assert bf.contains_bytes("word-00000")
+        assert not bf.contains_bytes("missing-key-123456")
+
+    def test_check_and_verify(self, tmp_path, wordfile, capsys):
+        out = str(tmp_path / "f.pop")
+        main(["create", out, wordfile])
+        main(["check", out, wordfile])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 5000  # every member prints (zero FN)
+        probe = tmp_path / "probe.txt"
+        probe.write_text("word-00001\nabsent-entry-zz\n")
+        main(["check", "--verify", out, str(probe)])
+        nok = capsys.readouterr().out.strip().splitlines()
+        assert nok == ["NOK: absent-entry-zz"]
+
+    def test_insert_then_check(self, tmp_path, wordfile):
+        out = str(tmp_path / "f.pop")
+        main(["create", "-c", "6000", out, wordfile])
+        extra = tmp_path / "extra.txt"
+        extra.write_text("brand-new-entry\n")
+        main(["insert", out, str(extra)])
+        assert load(out).contains_bytes("brand-new-entry")
+
+    def test_show(self, tmp_path, wordfile, capsys):
+        out = str(tmp_path / "f.pop")
+        main(["create", "-p", "0.02", "--version", "1", out, wordfile])
+        main(["show", out])
+        text = capsys.readouterr().out
+        assert "version: 1" in text
+        assert "capacity: 5000" in text
+        assert "fpp: 0.02" in text
+
+    def test_bench_gate_passes(self, wordfile, capsys):
+        assert main(["bench", "-p", "0.001", "--runs", "1", wordfile]) == 0
+        assert "avg fpr" in capsys.readouterr().out
