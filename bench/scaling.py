@@ -54,8 +54,9 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
     spark = get_spark(f"poppy-scaling-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(path).select("conv_id", "text").cache()
-    df.count()
+    # read straight from parquet each pass: the OS page cache holds the
+    # bytes, and Spark's columnar cache adds an expensive cold first pass
+    df = spark.read.parquet(path).select("conv_id", "text")
     bloom_factory = BloomSketch.factory(n_rows, 0.001)
     hll_factory = HllSketch.factory(14)
     # warm python workers so we time the aggregation, not interpreter startup
@@ -86,7 +87,7 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     path = os.environ.get("POPPY_SCALE_DATA", "/tmp/poppy_scaling_transcripts")
     n_rows = _make_dataset(path, n_convs)
 

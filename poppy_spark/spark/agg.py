@@ -41,7 +41,30 @@ __all__ = [
 ]
 
 
-def _update_fn(factory: Callable[[], Sketch], col_idx: int = 0):
+#: envelope magic for zlib-compressed in-flight states.  A partial state from
+#: one partition of a large filter is mostly zero pages (a 9M-key Bloom is a
+#: 16 MB state but one partition sets ~1% of its bits), so level-1 zlib cuts
+#: shuffle volume ~10x for the cost of ~0.1 s/state.  Checkpoint and final
+#: states stay raw (poppy-compatible); only shuffle-internal rows wrap.
+_Z_MAGIC = b"PSZ1"
+
+
+def _z_dumps(sk: Sketch) -> bytes:
+    import zlib
+
+    return _Z_MAGIC + zlib.compress(sk.dumps(), 1)
+
+
+def _z_loads(cls: type, raw: bytes) -> Sketch:
+    import zlib
+
+    raw = bytes(raw)
+    if raw[:4] == _Z_MAGIC:
+        raw = zlib.decompress(raw[4:])
+    return cls.loads(raw)
+
+
+def _update_fn(factory: Callable[[], Sketch], col_idx: int = 0, compress: bool = True):
     def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
@@ -52,10 +75,11 @@ def _update_fn(factory: Callable[[], Sketch], col_idx: int = 0):
             n += batch.num_rows
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
+        payload = _z_dumps(sk) if compress else sk.dumps()
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int64()),
-                pa.array([sk.dumps()], type=pa.binary()),
+                pa.array([payload], type=pa.binary()),
                 pa.array([n], type=pa.int64()),
             ],
             ["pid", "state", "n_rows"],
@@ -69,7 +93,7 @@ def _merge_pdf(factory: Callable[[], Sketch], final: bool = False):
         cls = type(factory())
         sk = None
         for raw in pdf["state"]:
-            part = cls.loads(bytes(raw))
+            part = _z_loads(cls, raw)
             if sk is None:
                 sk = part
             else:
@@ -79,7 +103,7 @@ def _merge_pdf(factory: Callable[[], Sketch], final: bool = False):
         return pd.DataFrame(
             {
                 "pid": [int(pdf["pid"].min())],
-                "state": [sk.dumps()],
+                "state": [sk.dumps() if final else _z_dumps(sk)],
                 "n_rows": [int(pdf["n_rows"].sum())],
             }
         )
@@ -225,7 +249,7 @@ def build_sketch_grouped(
             gvals = group_arrays[gkey]
             for c in group_cols:
                 rows[c].append(gvals[c])
-            st.append(sk.dumps())
+            st.append(_z_dumps(sk))
             nr.append(n)
         out = pd.DataFrame(rows)
         out["state"] = st
@@ -239,7 +263,7 @@ def build_sketch_grouped(
         cls = type(factory())
         sk = None
         for raw in pdf["state"]:
-            part = cls.loads(bytes(raw))
+            part = _z_loads(cls, raw)
             if sk is None:
                 sk = part
             else:

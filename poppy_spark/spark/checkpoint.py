@@ -107,7 +107,9 @@ class SketchCheckpoint:
             factory = self.factory
 
             def update(batches):
-                yield from _update_fn(factory)(batches)
+                # checkpoint files stay raw (each one a valid poppy/sketch
+                # file); compression is a shuffle-internal concern
+                yield from _update_fn(factory, compress=False)(batches)
 
             states = sdf.mapInArrow(update, "pid bigint, state binary, n_rows bigint")
             rows = states.filter(F.col("pid").isin([int(p) for p in todo_set])).collect()

@@ -7,11 +7,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: glibc malloc tuning for numpy-heavy workers: without it every large
+#: temporary is mmap'd and munmap'd per operation, and under 32-way
+#: concurrency the kernel's page-fault/mmap path dominates (measured 66%
+#: system time and a 31x slowdown on this host).  Keeping freed blocks on
+#: the heap makes allocation churn run at user-space speed.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(16 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(16 << 30),
+    "MALLOC_TOP_PAD_": str(256 << 20),
+}
+
+
 def get_spark(
     app_name: str = "poppy-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # must land in os.environ before the JVM gateway launches so forked
+    # Python workers inherit it
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
