@@ -97,6 +97,23 @@ def main() -> None:
         "minhash_grouped",
         lambda: build_sketch_grouped(docs, "text", ["source"], MinHashSketch.factory(128)).collect(),
     )
+    # 8. near-duplicate detection over documents (signatures -> LSH -> verify)
+    from poppy_spark.spark.dedup import near_duplicate_pairs
+
+    bench(
+        "neardup_docs",
+        lambda: near_duplicate_pairs(docs, "text", "doc_id", threshold=0.8, n_perms=64, bands=16).count(),
+        runs=1,
+    )
+    # 9. text quality + language id over documents
+    from poppy_spark.spark.text import detect_language, quality_score
+
+    bench(
+        "text_quality",
+        lambda: detect_language(quality_score(docs, "text"), "text")
+        .agg(F.avg("quality"), F.count_distinct("lang_guess"))
+        .collect(),
+    )
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)
