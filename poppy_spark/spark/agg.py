@@ -37,8 +37,24 @@ __all__ = [
     "build_sketch",
     "build_sketch_df",
     "build_sketch_grouped",
+    "repartition_salted",
     "sketch_value_column",
 ]
+
+
+def repartition_salted(
+    df: DataFrame, key: str, partitions: int, salt_buckets: int = 16
+) -> DataFrame:
+    """Repartition by ``hash(key, salt)`` so one hot key (a skewed
+    conversation holding a large share of all turns) spreads over
+    ``salt_buckets`` partitions instead of melting one task.
+
+    Sketch updates are order- and placement-independent (the merge is
+    commutative/associative), so salting is always safe here — unlike joins,
+    no de-salting step is needed.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets))
+    return df.repartition(partitions, F.col(key), salt)
 
 
 #: envelope magic for zlib-compressed in-flight states.  A partial state from

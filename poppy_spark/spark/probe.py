@@ -10,6 +10,7 @@ predicate.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -76,3 +77,53 @@ def bloom_anti_join(df: DataFrame, col: str, filt: BloomFilter | bytes) -> DataF
     """Keep rows definitely NOT in the filter (``check --verify`` NOK lines,
     ``bin/poppy.rs:388-393``)."""
     return bloom_contains(df, col, filt, "__hit__").filter(~F.col("__hit__")).drop("__hit__")
+
+
+def bloom_contains_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    states_df: DataFrame,
+    output_col: str = "hit",
+) -> DataFrame:
+    """Probe each row against *its group's* filter.
+
+    ``states_df`` is the output of ``build_sketch_grouped`` restricted to one
+    group column: ``(group, state binary, ...)``.  The whole state dict is
+    broadcast (grouped filters are small — one per role/tool/day bucket), so
+    the probe stays a narrow, shuffle-free transformation; rows whose group
+    has no filter probe False.
+    """
+    import uuid
+
+    spark = df.sparkSession
+    gname = states_df.columns[0] if group_col not in states_df.columns else group_col
+    states = {
+        r[gname]: bytes(r["state"]) for r in states_df.select(gname, "state").collect()
+    }
+    bc = spark.sparkContext.broadcast(states)
+    cache_key = uuid.uuid4().hex
+
+    @pandas_udf("boolean")
+    def contains(groups: pd.Series, keys: pd.Series) -> pd.Series:
+        from poppy_spark.core import loads
+        from poppy_spark.core.hashkern import pack_arrow
+
+        filters = _FILTER_CACHE.get(cache_key)
+        if filters is None:
+            filters = {g: loads(raw) for g, raw in bc.value.items()}
+            _FILTER_CACHE[cache_key] = filters
+        out = np.zeros(len(keys), dtype=bool)
+        karr = pa.Array.from_pandas(keys.astype("string"))
+        mat, lens = pack_arrow(karr)
+        gvals = groups.to_numpy()
+        for g in pd.unique(groups):
+            f = filters.get(g)
+            if f is None:
+                continue
+            sel = np.flatnonzero(gvals == g)
+            out[sel] = f.contains_packed(mat[sel], lens[sel])
+        return pd.Series(out)
+
+    c = F.col(col).cast("string")
+    return df.withColumn(output_col, contains(F.col(group_col), c))

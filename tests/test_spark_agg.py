@@ -133,3 +133,92 @@ class TestValueSketchesOnSpark:
         est = sk.query_keys(list(exact))
         for i, k in enumerate(exact):
             assert exact[k] <= est[i] <= exact[k] + sk.eps * n
+
+
+class TestGroupedProbeAndSalting:
+    def test_grouped_probe_routes_to_own_filter(self, spark, orders):
+        from poppy_spark.spark.probe import bloom_contains_grouped
+
+        states = build_sketch_grouped(
+            orders, "o_orderkey", ["o_orderpriority"], BloomSketch.factory(2000, 0.001)
+        )
+        probed = bloom_contains_grouped(
+            orders, "o_orderkey", "o_orderpriority", states, "hit"
+        )
+        # every key probes its own group's filter: all hits
+        assert probed.filter(~F.col("hit")).count() == 0
+        # keys probed against the WRONG group must mostly miss
+        wrong = orders.withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderpriority") == "1-URGENT", "5-LOW").otherwise("1-URGENT"),
+        )
+        wrong_hits = bloom_contains_grouped(
+            wrong, "o_orderkey", "o_orderpriority", states, "hit"
+        ).filter("hit").count()
+        assert wrong_hits < orders.count() * 0.05
+
+    def test_unknown_group_probes_false(self, spark, orders):
+        from poppy_spark.spark.probe import bloom_contains_grouped
+
+        states = build_sketch_grouped(
+            orders, "o_orderkey", ["o_orderpriority"], BloomSketch.factory(2000, 0.001)
+        )
+        ghost = orders.withColumn("o_orderpriority", F.lit("9-GHOST"))
+        assert (
+            bloom_contains_grouped(ghost, "o_orderkey", "o_orderpriority", states, "hit")
+            .filter("hit")
+            .count()
+            == 0
+        )
+
+    def test_salted_repartition_spreads_hot_key(self, spark):
+        from poppy_spark.spark.agg import repartition_salted
+        from poppy_spark.data.transcripts import generate_transcripts
+
+        t = generate_transcripts(spark, n_convs=200, seed=42)
+        salted = repartition_salted(t, "conv_id", 16, salt_buckets=16)
+        import pyarrow as pa
+
+        def sizes(batches):
+            n = 0
+            for b in batches:
+                n += b.num_rows
+            yield pa.RecordBatch.from_arrays([pa.array([n], pa.int64())], ["n"])
+
+        per_part = [
+            r["n"] for r in salted.select("conv_id").mapInArrow(sizes, "n long").collect()
+        ]
+        hot = t.filter(F.col("conv_id") == "conv-00000000").count()
+        # without salting the hot conversation (~5% of rows) lands on one
+        # partition; with salting no partition holds it all
+        assert max(per_part) < hot + (t.count() - hot)  # sanity
+        assert max(per_part) <= t.count() / 16 * 3
+
+    def test_bloom_build_same_result_salted(self, spark, orders):
+        from poppy_spark.spark.agg import repartition_salted
+
+        n = orders.count()
+        factory = BloomSketch.factory(n, 0.001)
+        plain = build_sketch(orders, "o_orderkey", factory)
+        salted = build_sketch(
+            repartition_salted(orders, "o_custkey", 12, 8), "o_orderkey", factory
+        )
+        assert plain.dumps() == salted.dumps()
+
+
+class TestCatalogSeam:
+    def test_parquet_uris(self, spark, sf_dir, tmp_path):
+        from poppy_spark.spark.catalog import iceberg_available, load_table, write_table
+
+        df = load_table(spark, f"{sf_dir}/region.parquet")
+        assert df.count() > 0
+        df2 = load_table(spark, f"parquet://{sf_dir}/region.parquet")
+        assert df2.count() == df.count()
+        out = str(tmp_path / "roundtrip")
+        write_table(df, f"parquet://{out}", mode="overwrite")
+        assert load_table(spark, out).count() == df.count()
+        if not iceberg_available(spark):
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError):
+                load_table(spark, "iceberg://cat.db.t")
