@@ -357,6 +357,24 @@ def q_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group membership: each order key probed against its own
+    priority-group filter must hit (zero FN per group)."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch_grouped
+    from poppy_spark.spark.probe import bloom_contains_grouped
+
+    orders = _read(spark, sf_dir, "orders")
+    states = build_sketch_grouped(
+        orders, "o_orderkey", ["o_orderpriority"], BloomSketch.factory(20000, 0.001)
+    )
+    probed = bloom_contains_grouped(orders, "o_orderkey", "o_orderpriority", states, "hit")
+    return probed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(~F.col("hit"), 1).otherwise(0)).alias("n_missed"),
+    )
+
+
 def q_transcripts_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator determinism: regenerating the transcripts table yields zero
     row differences (per-turn text equality under stable ordering)."""
@@ -397,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_recall": q_lsh_dedup_recall,
         "simhash_duplicates": q_simhash_duplicates,
         "cosine_top1": q_cosine_top1,
+        "bloom_grouped_membership": q_bloom_grouped_membership,
         "transcripts_invariance": q_transcripts_invariance,
     }
 
@@ -459,6 +478,10 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id ASC "
             " LIMIT 1) AS nn_id "
             "FROM embeddings a WHERE a.vec_id < 10"
+        ),
+        "bloom_grouped_membership": (
+            "SELECT o_orderpriority, COUNT(*) AS n_keys, 0 AS n_missed "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "transcripts_invariance": "SELECT TRUE AS stable",
     }

@@ -1,0 +1,39 @@
+"""Spark-side verbs of the poppy_spark engine."""
+
+from .agg import (
+    build_sketch,
+    build_sketch_df,
+    build_sketch_grouped,
+    repartition_salted,
+    sketch_value_column,
+)
+from .catalog import load_table, write_table
+from .checkpoint import SketchCheckpoint
+from .probe import (
+    bloom_anti_join,
+    bloom_contains,
+    bloom_contains_grouped,
+    bloom_contains_udf,
+    bloom_semi_join,
+)
+from .session import get_spark
+from .streaming import StreamingSketch, merge_grouped_states
+
+__all__ = [
+    "SketchCheckpoint",
+    "StreamingSketch",
+    "bloom_anti_join",
+    "bloom_contains",
+    "bloom_contains_grouped",
+    "bloom_contains_udf",
+    "bloom_semi_join",
+    "build_sketch",
+    "build_sketch_df",
+    "build_sketch_grouped",
+    "get_spark",
+    "load_table",
+    "merge_grouped_states",
+    "repartition_salted",
+    "sketch_value_column",
+    "write_table",
+]

@@ -110,3 +110,33 @@ class TestMultimodalPlumbing:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x00" * 16, 8, 8, allow_fake=False)
+
+
+class TestRealStructuredStreaming:
+    def test_rate_stream_foreachbatch_bloom(self, spark, tmp_path):
+        """End-to-end Structured Streaming: rate source -> foreachBatch
+        StreamingSketch -> final filter contains every streamed value."""
+        from poppy_spark.spark.streaming import StreamingSketch
+
+        factory = BloomSketch.factory(5000, 0.001)
+        ss = StreamingSketch(str(tmp_path / "rt"), factory, col="value")
+        stream = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 500)
+            .option("numPartitions", 4)
+            .load()
+            .select(F.format_string("evt-%d", F.col("value")).alias("value"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(ss)
+            .option("checkpointLocation", str(tmp_path / "rt-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        sk = ss.current()
+        # count field is a post-merge estimate; membership is the contract:
+        # every streamed value must be contained (zero false negatives)
+        assert sk.filter.count_estimate >= 300
+        probe = [f"evt-{i}" for i in range(500)]
+        assert bool(sk.filter.contains_batch(probe).all())
