@@ -186,24 +186,63 @@ def _read_rest_batch(g: np.ndarray, t: np.ndarray) -> np.ndarray:
 
 
 def wyhash_batch(mat: np.ndarray, lens: np.ndarray, seed: int = POPPY_SEED) -> np.ndarray:
-    """Batch wyhash (same algorithm as :func:`poppy_spark.core.hashes.wyhash`)."""
+    """Batch wyhash (same algorithm as :func:`poppy_spark.core.hashes.wyhash`).
+
+    Rows are processed longest-first so every 32-byte-chunk iteration works
+    on a contiguous PREFIX slice instead of a boolean-masked gather — the
+    masked variant spends most of its time copying ever-smaller fancy-indexed
+    subsets.
+    """
+    n = mat.shape[0]
+    if n == 0:
+        return np.full(0, seed, dtype=U64)
+    maxchunks = int(lens.max()) // 32
+    if maxchunks >= 1 and n > 64:
+        order = np.argsort(-lens, kind="stable")
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        out = _wyhash_sorted(
+            np.ascontiguousarray(mat[order]), lens[order], seed, maxchunks
+        )
+        return out[inv]
+    return _wyhash_sorted(mat, lens, seed, maxchunks, sorted_by_len=False)
+
+
+def _wyhash_sorted(
+    mat: np.ndarray,
+    lens: np.ndarray,
+    seed: int,
+    maxchunks: int,
+    sorted_by_len: bool = True,
+) -> np.ndarray:
     n = mat.shape[0]
     h = np.full(n, seed, dtype=U64)
-    if n == 0:
-        return h
     p0, p1, p2, p3, p4, p5 = (U64(x) for x in (WYHASH_P0, WYHASH_P1, WYHASH_P2, WYHASH_P3, WYHASH_P4, WYHASH_P5))
     # 8-aligned word view for the fixed-offset 32-byte chunk loop
     words = mat[:, : (mat.shape[1] // 8) * 8].view("<u8")
-    maxchunks = int(lens.max()) // 32
     for c in range(maxchunks):
-        m = lens >= (c + 1) * 32
-        if not m.any():
-            break
-        w0 = words[m, 4 * c]
-        w1 = words[m, 4 * c + 1]
-        w2 = words[m, 4 * c + 2]
-        w3 = words[m, 4 * c + 3]
-        h[m] = mum(h[m] ^ p0, mum(w0 ^ p1, w1 ^ p2) ^ mum(w2 ^ p3, w3 ^ p4))
+        need = (c + 1) * 32
+        if sorted_by_len:
+            # rows are longest-first: the active set is the prefix [0:k)
+            k = int(np.searchsorted(-lens, -need, side="right"))
+            if k == 0:
+                break
+            w = words[:k]
+            h[:k] = mum(
+                h[:k] ^ p0,
+                mum(w[:, 4 * c] ^ p1, w[:, 4 * c + 1] ^ p2)
+                ^ mum(w[:, 4 * c + 2] ^ p3, w[:, 4 * c + 3] ^ p4),
+            )
+        else:
+            m = lens >= need
+            if not m.any():
+                break
+            w = words[m]
+            h[m] = mum(
+                h[m] ^ p0,
+                mum(w[:, 4 * c] ^ p1, w[:, 4 * c + 1] ^ p2)
+                ^ mum(w[:, 4 * c + 2] ^ p3, w[:, 4 * c + 3] ^ p4),
+            )
     # tail: rest_len in 0..=31 at per-row offset 32*(len//32)
     rest_len = (lens % 32).astype(np.int64)
     rest_off = lens - rest_len
