@@ -57,25 +57,38 @@ def repartition_salted(
     return df.repartition(partitions, F.col(key), salt)
 
 
-#: envelope magic for zlib-compressed in-flight states.  A partial state from
+#: envelope magics for compressed in-flight states.  A partial state from
 #: one partition of a large filter is mostly zero pages (a 9M-key Bloom is a
-#: 16 MB state but one partition sets ~1% of its bits), so level-1 zlib cuts
-#: shuffle volume ~10x for the cost of ~0.1 s/state.  Checkpoint and final
-#: states stay raw (poppy-compatible); only shuffle-internal rows wrap.
+#: 16 MB state but one partition sets ~1% of its bits), so compression cuts
+#: shuffle volume ~10x.  LZ4 (pyarrow codec, GB/s-class) is preferred; zlib
+#: is kept for reading older envelopes.  Checkpoint and final states stay
+#: raw (poppy-compatible); only shuffle-internal rows wrap.
 _Z_MAGIC = b"PSZ1"
+_L4_MAGIC = b"PSL4"
 
 
 def _z_dumps(sk: Sketch) -> bytes:
-    import zlib
+    import struct
 
-    return _Z_MAGIC + zlib.compress(sk.dumps(), 1)
+    import pyarrow as _pa
+
+    raw = sk.dumps()
+    comp = _pa.Codec("lz4").compress(raw).to_pybytes()
+    return _L4_MAGIC + struct.pack("<Q", len(raw)) + comp
 
 
 def _z_loads(cls: type, raw: bytes) -> Sketch:
-    import zlib
-
     raw = bytes(raw)
-    if raw[:4] == _Z_MAGIC:
+    if raw[:4] == _L4_MAGIC:
+        import struct
+
+        import pyarrow as _pa
+
+        (orig_len,) = struct.unpack_from("<Q", raw, 4)
+        raw = _pa.Codec("lz4").decompress(raw[12:], orig_len).to_pybytes()
+    elif raw[:4] == _Z_MAGIC:
+        import zlib
+
         raw = zlib.decompress(raw[4:])
     return cls.loads(raw)
 
