@@ -163,6 +163,9 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin the session timezone so collected timestamps match DuckDB's naive
+    # reading of the parquet values regardless of the host default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _read(spark, sf_dir, "events")
     return _hll_grouped(spark, events, "user_id", F.date_trunc("day", F.col("ts")), "day", "timestamp")
 
