@@ -140,3 +140,37 @@ class TestRealStructuredStreaming:
         assert sk.filter.count_estimate >= 300
         probe = [f"evt-{i}" for i in range(500)]
         assert bool(sk.filter.contains_batch(probe).all())
+
+
+class TestWindowedGroupedSink:
+    def test_sink_appends_mergeable_states(self, spark, tmp_path):
+        """Drive the windowed grouped sink's foreachBatch body in batch mode
+        and merge the appended states on read."""
+        from poppy_spark.data.transcripts import generate_transcripts
+        from poppy_spark.spark.agg import build_sketch_grouped
+        from poppy_spark.spark.streaming import merge_grouped_states
+
+        t = generate_transcripts(spark, n_convs=100, seed=42)
+        out = str(tmp_path / "winstates")
+        factory = HllSketch.factory(12)
+        halves = (
+            t.filter(F.abs(F.xxhash64("conv_id")) % 2 == 0),
+            t.filter(F.abs(F.xxhash64("conv_id")) % 2 == 1),
+        )
+        for half in halves:
+            g = half.withColumn("window", F.date_trunc("day", F.col("ts")))
+            states = build_sketch_grouped(g, "text", ["window", "role"], factory)
+            states.write.mode("append").parquet(out)
+        appended = spark.read.parquet(out)
+        assert appended.count() > appended.select("window", "role").distinct().count()
+        merged = merge_grouped_states(appended, ["window", "role"], factory)
+        assert merged.count() == appended.select("window", "role").distinct().count()
+        # estimate sanity for one (window, role) cell vs exact
+        row = merged.filter("role = 'user'").first()
+        exact = (
+            t.withColumn("window", F.date_trunc("day", F.col("ts")))
+            .filter((F.col("window") == row["window"]) & (F.col("role") == "user"))
+            .select("text").distinct().count()
+        )
+        est = HllSketch.loads(bytes(row["state"])).result()
+        assert est == pytest.approx(exact, rel=0.1, abs=3)

@@ -210,3 +210,18 @@ class TestSimilarity:
         # self must always collide (identical vector, identical buckets)
         for qid in range(3):
             assert qid in {r["id"] for r in rows if r["query_id"] == qid}
+
+
+class TestBpeIshTokens:
+    def test_piece_counting(self, spark):
+        from poppy_spark.spark.text import bpe_ish_token_count
+
+        df = spark.createDataFrame(
+            [("hello world",), ("foo123bar",), ("a,b.c",), ("",)], "text string"
+        )
+        got = [r[0] for r in df.select(bpe_ish_token_count(F.col("text"))).collect()]
+        # pieces: [hello, world]=2-ish; foo|123|bar=3; a|,|b|.|c=5; empty=0
+        assert got[0] >= 2
+        assert got[1] == 3
+        assert got[2] == 5
+        assert got[3] == 0
