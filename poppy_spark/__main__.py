@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-from poppy_spark.core import BloomFilter, OptLevel, load, loads
+from poppy_spark.core import BloomFilter, OptLevel, load
 
 CHUNK = 65536
 

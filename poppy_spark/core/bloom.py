@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 
 from .params import (
-    DEFAULT_VERSION,
     InvalidVersion,
     MergeError,
     OptLevel,

@@ -84,7 +84,6 @@ def arrow_to_hashes(arr, seed: int) -> np.ndarray:
 def arrow_to_f64(arr) -> np.ndarray:
     """Arrow numeric column -> float64 numpy array with nulls dropped."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from poppy_spark.core import BloomFilter, OptLevel, Params, loads as bloom_loads
+from poppy_spark.core import BloomFilter, OptLevel, loads as bloom_loads
 
 from .base import Sketch, arrow_to_text_batch
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from typing import Callable, Iterator, Sequence
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

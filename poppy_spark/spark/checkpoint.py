@@ -29,8 +29,6 @@ from poppy_spark.sketches.base import Sketch
 def _fingerprint(df: DataFrame, col: str) -> DataFrame:
     """Cheap per-partition input fingerprint: row count + xor/sum of
     xxhash64(key) — order-insensitive, so it is stable under rescans."""
-    from pyspark.sql.types import LongType, StructField, StructType
-
     import pyarrow as pa
 
     def fp(batches):

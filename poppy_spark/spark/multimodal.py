@@ -97,7 +97,7 @@ def media_content_hash(df: DataFrame, output_col: str = "media_hash") -> DataFra
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling bookkeeping for video rows: explode per-frame offsets
     (metadata only — decoding is the stubbed stage above)."""
-    n_frames = F.greatest((F.col("media_ms") / every_ms).cast("int"), F.lit(1))
+    n_frames = F.greatest(F.ceil(F.col("media_ms") / every_ms).cast("int"), F.lit(1))
     return df.filter(F.col("media_type") == "video").withColumn(
         "frame_ms",
         F.explode(F.sequence(F.lit(0), (n_frames - 1) * every_ms, F.lit(every_ms))),

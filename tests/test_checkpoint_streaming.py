@@ -174,3 +174,17 @@ class TestWindowedGroupedSink:
         )
         est = HllSketch.loads(bytes(row["state"])).result()
         assert est == pytest.approx(exact, rel=0.1, abs=3)
+
+
+class TestFrameSampling:
+    def test_video_frame_offsets(self, spark):
+        from poppy_spark.spark.multimodal import attach_fake_media, sample_frames
+
+        df = attach_fake_media(
+            spark.range(0, 5).withColumnRenamed("id", "doc_id"), "doc_id", kind="video"
+        ).withColumn("media_ms", F.lit(3500))
+        frames = sample_frames(df, every_ms=1000)
+        per_doc = frames.groupBy("doc_id").count().collect()
+        assert all(r["count"] == 4 for r in per_doc)  # 0,1000,2000,3000
+        offs = sorted(r["frame_ms"] for r in frames.filter("doc_id = 0").collect())
+        assert offs == [0, 1000, 2000, 3000]
