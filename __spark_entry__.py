@@ -368,8 +368,9 @@ def q_bloom_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poppy_spark.spark.probe import bloom_contains_grouped
 
     orders = _read(spark, sf_dir, "orders")
+    # capacity sized from the data (any single group holds at most n keys)
     states = build_sketch_grouped(
-        orders, "o_orderkey", ["o_orderpriority"], BloomSketch.factory(20000, 0.001)
+        orders, "o_orderkey", ["o_orderpriority"], BloomSketch.factory(orders.count(), 0.001)
     )
     probed = bloom_contains_grouped(orders, "o_orderkey", "o_orderpriority", states, "hit")
     return probed.groupBy("o_orderpriority").agg(
