@@ -35,15 +35,36 @@ def _get_filter(bc, key: str) -> BloomFilter:
 
 
 def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
-    """A reusable boolean pandas UDF testing membership in ``filt``."""
+    """A reusable boolean vectorized UDF testing membership in ``filt``.
+
+    Uses an Arrow-native UDF when the runtime has one (Spark 4.1+): the key
+    column arrives as a ``pyarrow.Array`` and feeds ``pack_arrow`` directly —
+    no Arrow -> pandas object-string -> Arrow round trip."""
     import uuid
 
     state = filt.dumps() if isinstance(filt, BloomFilter) else bytes(filt)
     bc = spark.sparkContext.broadcast(state)
     cache_key = uuid.uuid4().hex  # per-worker parse-once cache key
 
+    try:
+        from pyspark.sql.functions import arrow_udf
+    except ImportError:
+        arrow_udf = None
+
+    if arrow_udf is not None:
+
+        @arrow_udf("boolean")
+        def contains(keys: pa.Array) -> pa.Array:
+            f = _get_filter(bc, cache_key)
+            from poppy_spark.core.hashkern import pack_arrow
+
+            mat, lens = pack_arrow(keys)
+            return pa.array(f.contains_packed(mat, lens))
+
+        return contains
+
     @pandas_udf("boolean")
-    def contains(keys: pd.Series) -> pd.Series:
+    def contains_pd(keys: pd.Series) -> pd.Series:
         f = _get_filter(bc, cache_key)
         arr = pa.Array.from_pandas(keys.astype("string"))
         from poppy_spark.core.hashkern import pack_arrow
@@ -51,7 +72,7 @@ def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
         mat, lens = pack_arrow(arr)
         return pd.Series(f.contains_packed(mat, lens))
 
-    return contains
+    return contains_pd
 
 
 def bloom_contains(
