@@ -52,6 +52,10 @@ def count_estimate_from_ones(bit_len: int, ones: int, n_hash: int) -> int:
     """N ~= -m/k * ln(1 - X/m)  (``poppy/src/bloom/v1.rs:330-334``)."""
     if bit_len == 0 or n_hash == 0:
         return 0
+    if ones >= bit_len:
+        # fully saturated filter: ln(0) = -inf; Rust's `as u64` on +inf
+        # saturates to u64::MAX rather than erroring
+        return rust_f64_as_u64(float("inf"))
     return rust_f64_as_u64(-(bit_len * math.log(1.0 - ones / bit_len)) / n_hash)
 
 

@@ -11,6 +11,13 @@ holding ``cap_from_bit_size(32768, fpp)`` entries; keys route to buckets by
 ``xorshift_star(h1)``; within a bucket, k indexes come from wyhash-based
 double hashing.  A partial-state serialization of this class is itself a
 valid poppy v2 file, which is what our Spark partial aggregation shuffles.
+
+Compatibility caveat: the wyhash >8-byte arms are reconstructed and frozen
+by this library's own golden vectors — the reference publishes only one
+vector (``"poppy"``, 5 bytes), so v2 files over keys *longer than 8 bytes*
+are believed but not proven byte-compatible with Rust-built filters until
+vectors from the wyhash 0.5.0 crate can be generated (no network here).
+Keys <= 8 bytes (and the whole v1 format) are fully anchored.
 """
 
 from __future__ import annotations

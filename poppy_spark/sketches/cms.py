@@ -65,9 +65,11 @@ class CmsSketch(Sketch):
         if mat.shape[0] == 0:
             return
         cols = self._cols(mat, lens)
-        one = np.uint64(1)
+        # np.bincount is a single C histogram pass — several times faster than
+        # np.add.at's scalar scatter at Arrow-batch sizes (w adds of the dense
+        # count vector are trivial next to the per-row scatter it replaces)
         for r in range(self.d):
-            np.add.at(self.table[r], cols[:, r], one)
+            self.table[r] += np.bincount(cols[:, r], minlength=self.w).astype(np.uint64)
 
     # --- queries --------------------------------------------------------------------
     def query_keys(self, keys) -> np.ndarray:

@@ -24,11 +24,30 @@ def normalized_words(text: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
-def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(text_hash, n_copies, doc_ids) for every exactly-duplicated text."""
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str, id_col: str, max_ids: int = 20
+) -> DataFrame:
+    """(text_hash, n_copies, doc_ids) for every exactly-duplicated text.
+
+    ``doc_ids`` is a bounded sample (first ``max_ids`` ids in id order) —
+    web-scale corpora have single texts duplicated 10^7 times, and an
+    unbounded ``collect_list`` would put that whole group in one row.  The
+    window and the groupBy share the same hash partitioning, so the cap
+    costs no extra shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
-        .agg(F.count("*").alias("n_copies"), F.collect_list(F.col(id_col)).alias("doc_ids"))
+        df.withColumn("__rn", F.row_number().over(w))
+        .groupBy(h.alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.collect_list(
+                F.when(F.col("__rn") <= max_ids, F.col(id_col))
+            ).alias("doc_ids"),
+        )
         .filter(F.col("n_copies") > 1)
     )
 

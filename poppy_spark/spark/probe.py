@@ -20,17 +20,40 @@ from pyspark.sql.functions import pandas_udf
 from poppy_spark.core import BloomFilter
 
 #: per-worker cache of deserialized filters, keyed by broadcast id (avoids
-#: re-parsing the state for every Arrow batch)
+#: re-parsing the state for every Arrow batch).  Bounded: long-lived
+#: executors would otherwise leak one multi-MB filter per probe invocation.
 _FILTER_CACHE: dict = {}
+_FILTER_CACHE_MAX = 8
+
+
+def _broadcast_id(bc) -> int:
+    """Driver-side numeric id of a PySpark Broadcast (stable per broadcast)."""
+    try:
+        return int(bc._jbroadcast.id())
+    except Exception:
+        return id(bc)
+
+
+def _cache_get(key):
+    val = _FILTER_CACHE.pop(key, None)
+    if val is not None:  # re-insert = move to most-recent position
+        _FILTER_CACHE[key] = val
+    return val
+
+
+def _cache_put(key, val):
+    while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
+        _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+    _FILTER_CACHE[key] = val
 
 
 def _get_filter(bc, key: str) -> BloomFilter:
-    filt = _FILTER_CACHE.get(key)
+    filt = _cache_get(key)
     if filt is None:
         from poppy_spark.core import loads
 
         filt = loads(bytes(bc.value))
-        _FILTER_CACHE[key] = filt
+        _cache_put(key, filt)
     return filt
 
 
@@ -40,11 +63,11 @@ def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
     Uses an Arrow-native UDF when the runtime has one (Spark 4.1+): the key
     column arrives as a ``pyarrow.Array`` and feeds ``pack_arrow`` directly —
     no Arrow -> pandas object-string -> Arrow round trip."""
-    import uuid
-
     state = filt.dumps() if isinstance(filt, BloomFilter) else bytes(filt)
     bc = spark.sparkContext.broadcast(state)
-    cache_key = uuid.uuid4().hex  # per-worker parse-once cache key
+    # keyed by broadcast id: re-probing with the same broadcast reuses the
+    # parsed filter; distinct probes rotate through the bounded LRU
+    cache_key = f"bloom-{_broadcast_id(bc)}"
 
     try:
         from pyspark.sql.functions import arrow_udf
@@ -66,7 +89,9 @@ def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
     @pandas_udf("boolean")
     def contains_pd(keys: pd.Series) -> pd.Series:
         f = _get_filter(bc, cache_key)
-        arr = pa.Array.from_pandas(keys.astype("string"))
+        # the Spark-side key expression already canonicalized the column to
+        # string or passed binary through; no astype that would mangle bytes
+        arr = pa.Array.from_pandas(keys)
         from poppy_spark.core.hashkern import pack_arrow
 
         mat, lens = pack_arrow(arr)
@@ -81,11 +106,17 @@ def bloom_contains(
     filt: BloomFilter | bytes,
     output_col: str = "hit",
 ) -> DataFrame:
-    """Append a boolean membership column (the ``check`` verb)."""
+    """Append a boolean membership column (the ``check`` verb).
+
+    The probe key expression mirrors the build side's ``_as_key`` exactly:
+    string/binary columns pass through untouched (casting binary to string
+    would re-encode non-UTF8 bytes and break the zero-false-negative
+    contract); everything else casts to its string form."""
+    from poppy_spark.spark.agg import _as_key
+
     spark = df.sparkSession
     udf = bloom_contains_udf(spark, filt)
-    c = F.col(col) if isinstance(col, str) else col
-    return df.withColumn(output_col, udf(c.cast("string")))
+    return df.withColumn(output_col, udf(_as_key(df, col)))
 
 
 def bloom_semi_join(df: DataFrame, col: str, filt: BloomFilter | bytes) -> DataFrame:
@@ -106,36 +137,50 @@ def bloom_contains_grouped(
     group_col: str,
     states_df: DataFrame,
     output_col: str = "hit",
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Probe each row against *its group's* filter.
 
     ``states_df`` is the output of ``build_sketch_grouped`` restricted to one
     group column: ``(group, state binary, ...)``.  The whole state dict is
-    broadcast (grouped filters are small — one per role/tool/day bucket), so
-    the probe stays a narrow, shuffle-free transformation; rows whose group
-    has no filter probe False.
+    broadcast, so the probe stays a narrow, shuffle-free transformation; rows
+    whose group has no filter probe False.
+
+    This shape is right ONLY for low-cardinality groups (role / tool / day
+    buckets — at most ``max_groups`` of them): the states must collectively
+    fit one broadcast value and one Python worker's memory.  Grouping by a
+    high-cardinality key (``conv_id``) raises; use a join against
+    ``states_df`` or the bucket-sharded filter (:mod:`poppy_spark.spark
+    .sharded`) instead, which shuffle states once each rather than
+    broadcasting them everywhere.
     """
-    import uuid
+    from poppy_spark.spark.agg import _as_key
 
     spark = df.sparkSession
     gname = states_df.columns[0] if group_col not in states_df.columns else group_col
-    states = {
-        r[gname]: bytes(r["state"]) for r in states_df.select(gname, "state").collect()
-    }
+    rows = states_df.select(gname, "state").collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"bloom_contains_grouped: {len(rows)} group states exceed the "
+            f"broadcast guard ({max_groups}); group-by key cardinality is too "
+            "high for a broadcast probe — use a shuffle join on the states "
+            "DataFrame or poppy_spark.spark.sharded instead"
+        )
+    states = {r[gname]: bytes(r["state"]) for r in rows}
     bc = spark.sparkContext.broadcast(states)
-    cache_key = uuid.uuid4().hex
+    cache_key = f"bloom-grouped-{_broadcast_id(bc)}"
 
     @pandas_udf("boolean")
     def contains(groups: pd.Series, keys: pd.Series) -> pd.Series:
         from poppy_spark.core import loads
         from poppy_spark.core.hashkern import pack_arrow
 
-        filters = _FILTER_CACHE.get(cache_key)
+        filters = _cache_get(cache_key)
         if filters is None:
             filters = {g: loads(raw) for g, raw in bc.value.items()}
-            _FILTER_CACHE[cache_key] = filters
+            _cache_put(cache_key, filters)
         out = np.zeros(len(keys), dtype=bool)
-        karr = pa.Array.from_pandas(keys.astype("string"))
+        karr = pa.Array.from_pandas(keys)
         mat, lens = pack_arrow(karr)
         gvals = groups.to_numpy()
         for g in pd.unique(groups):
@@ -146,5 +191,4 @@ def bloom_contains_grouped(
             out[sel] = f.contains_packed(mat[sel], lens[sel])
         return pd.Series(out)
 
-    c = F.col(col).cast("string")
-    return df.withColumn(output_col, contains(F.col(group_col), c))
+    return df.withColumn(output_col, contains(F.col(group_col), _as_key(df, col)))

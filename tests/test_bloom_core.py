@@ -318,3 +318,24 @@ class TestV1KnownDefect:
         simply pin that the sizing really is a power of two."""
         m = bit_size(109397, 0.01)
         assert m & (m - 1) == 0
+
+
+class TestSaturation:
+    def test_count_estimate_saturated_filter(self):
+        """A fully-set v1 bitset estimates u64::MAX (Rust `as u64` on +inf),
+        not a math-domain crash (``poppy/src/bloom/v1.rs:330-334``)."""
+        from poppy_spark.core.statekern import count_estimate_from_ones
+
+        assert count_estimate_from_ones(64, 64, 2) == (1 << 64) - 1
+        assert count_estimate_from_ones(64, 65, 2) == (1 << 64) - 1
+        assert count_estimate_from_ones(64, 0, 2) == 0
+
+    def test_v1_union_of_saturated_filters(self):
+        from poppy_spark.core.v1 import BloomV1
+
+        a = BloomV1.with_capacity(4, 0.5)
+        for i in range(4):
+            a.insert_bytes(f"k{i}".encode())
+        a.words.fill((1 << 64) - 1)  # force saturation
+        a.update_count()
+        assert a.count_estimate() == (1 << 64) - 1

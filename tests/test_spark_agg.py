@@ -222,3 +222,35 @@ class TestCatalogSeam:
 
             with _pytest.raises(RuntimeError):
                 load_table(spark, "iceberg://cat.db.t")
+
+
+class TestBinaryKeyProbe:
+    def test_non_utf8_binary_zero_false_negatives(self, spark):
+        """Build and probe over a BINARY column holding non-UTF8 bytes: the
+        probe path must hash the same raw bytes as the build (no string
+        cast), preserving the zero-FN contract."""
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+        from poppy_spark.spark.probe import bloom_contains
+
+        keys = [bytes([0xFF, 0xFE, i % 256, (i * 7) % 256, 0x80]) + i.to_bytes(4, "big") for i in range(500)]
+        df = spark.createDataFrame([(k,) for k in keys], "key binary")
+        sk = build_sketch(df, "key", BloomSketch.factory(500, 0.001))
+        # driver-side check against the same raw bytes
+        assert all(sk.filter.contains_batch(keys))
+        missed = (
+            bloom_contains(df, "key", sk.dumps(), "hit")
+            .filter("NOT hit")
+            .count()
+        )
+        assert missed == 0
+
+    def test_filter_cache_bounded(self):
+        from poppy_spark.spark import probe as P
+
+        P._FILTER_CACHE.clear()
+        for i in range(50):
+            P._cache_put(f"k{i}", i)
+        assert len(P._FILTER_CACHE) <= P._FILTER_CACHE_MAX
+        # most-recent keys survive
+        assert "k49" in P._FILTER_CACHE
