@@ -36,6 +36,7 @@ __all__ = [
     "build_sketch",
     "build_sketch_df",
     "build_sketch_grouped",
+    "merge_states_tree",
     "repartition_salted",
     "sketch_value_column",
 ]
@@ -198,8 +199,19 @@ def build_sketch_df(
         sdf = sdf.repartition(repartition)
         n_parts = repartition
     states = sdf.mapInArrow(_update_fn(factory), _STATES_SCHEMA)
+    return merge_states_tree(states, factory, n_parts, merge_fanout)
+
+
+def merge_states_tree(
+    states: DataFrame,
+    factory: Callable[[], Sketch],
+    n_parts: int,
+    merge_fanout: int = 8,
+) -> DataFrame:
+    """Reduce a ``(pid, state, n_rows)`` DataFrame to one finalized state row
+    via a bounded-fan-in merge tree (poppy folds sequentially; we tree-reduce
+    so no single task ORs more than ``merge_fanout`` multi-MB states)."""
     merge = _merge_pdf(factory)
-    # bounded-fan-in merge tree (poppy folds sequentially; we tree-reduce)
     while n_parts > merge_fanout:
         n_parts = (n_parts + merge_fanout - 1) // merge_fanout
         states = states.groupBy(

@@ -81,62 +81,130 @@ class SketchCheckpoint:
     def build(self, df: DataFrame, col: str, resume: bool = True) -> Sketch:
         """Build (or resume) the sketch over ``df[col]``.
 
-        Partitions whose fingerprint matches the manifest are skipped; their
-        checkpointed states are reused.  Returns the merged sketch and writes
-        ``final.state``.
-        """
-        from poppy_spark.spark.agg import _key_expr, _update_fn
+        Partitions whose fingerprint matches the manifest are skipped — the
+        update function returns before consuming a single Arrow batch, so a
+        skipped partition pays (almost) no scan either.  Everything heavy is
+        executor-side: each update task writes its own ``part-*.state`` file
+        directly (``self.dir`` must be shared storage on a real cluster), and
+        the final union runs as the same bounded-fan-in Spark merge tree the
+        one-shot build uses.  Driver memory is O(1): it ever holds only the
+        per-partition fingerprint rows and the single final state.
 
-        manifest = self.load_manifest() if resume else {"sketch": type(self.factory()).kind, "partitions": {}}
+        Manifest entries for partition ids absent from the current input
+        (input shrank or was repartitioned) are pruned — their stale state
+        files are deleted, not silently merged in.
+        """
+        from poppy_spark.spark.agg import _key_expr, merge_states_tree
+
+        manifest = (
+            self.load_manifest()
+            if resume
+            else {"sketch": type(self.factory()).kind, "partitions": {}}
+        )
         done = manifest["partitions"]
 
         fps = {r["pid"]: r for r in _fingerprint(df, col).collect()}
-        todo = [
-            pid
+
+        # prune stale entries: pids no longer present in the input
+        for pid in [p for p in done if int(p) not in fps]:
+            stale = os.path.join(self.dir, done[pid]["state_file"])
+            if os.path.exists(stale):
+                os.remove(stale)
+            del done[pid]
+
+        todo = {
+            int(pid)
             for pid, r in fps.items()
             if str(pid) not in done
             or done[str(pid)]["fingerprint"] != r["fingerprint"]
             or done[str(pid)]["n_rows"] != r["n_rows"]
-        ]
+        }
 
+        spark = df.sparkSession
         if todo:
             sdf = df.select(_key_expr(df, col, self.factory).alias("__key__"))
-            todo_set = set(todo)
             factory = self.factory
+            out_dir = self.dir
+            bc_todo = spark.sparkContext.broadcast(todo)
 
             def update(batches):
-                # checkpoint files stay raw (each one a valid poppy/sketch
-                # file); compression is a shuffle-internal concern
-                yield from _update_fn(factory, compress=False)(batches)
+                import pyarrow as pa
 
-            states = sdf.mapInArrow(update, "pid bigint, state binary, n_rows bigint")
-            rows = states.filter(F.col("pid").isin([int(p) for p in todo_set])).collect()
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                pid = tc.partitionId() if tc is not None else 0
+                if pid not in bc_todo.value:
+                    return  # batches never consumed -> scan short-circuits
+                sk = factory()
+                n = 0
+                for b in batches:
+                    sk.update_arrow(b.column(0))
+                    n += b.num_rows
+                # checkpoint files stay raw (each one a valid poppy/sketch
+                # file); written executor-side, atomically via rename
+                path = os.path.join(out_dir, f"part-{pid:05d}.state")
+                tmp = f"{path}.tmp-{tc.taskAttemptId() if tc else 0}"
+                with open(tmp, "wb") as f:
+                    f.write(sk.dumps())
+                os.replace(tmp, path)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([pid], pa.int64()), pa.array([n], pa.int64())],
+                    ["pid", "n_rows"],
+                )
+
+            written = sdf.mapInArrow(update, "pid bigint, n_rows bigint").collect()
             t = time.time()
-            for r in rows:
-                path = os.path.join(self.dir, f"part-{r['pid']:05d}.state")
-                with open(path, "wb") as f:
-                    f.write(bytes(r["state"]))
+            for r in written:
                 done[str(r["pid"])] = {
                     "n_rows": fps[r["pid"]]["n_rows"],
                     "fingerprint": fps[r["pid"]]["fingerprint"],
-                    "state_file": os.path.basename(path),
+                    "state_file": f"part-{r['pid']:05d}.state",
                     "updated_at": t,
                 }
             self._save_manifest(manifest)
 
-        # merge all checkpointed partitions
-        cls = type(self.factory())
-        merged = None
-        for pid in sorted(done, key=int):
-            with open(os.path.join(self.dir, done[pid]["state_file"]), "rb") as f:
-                part = cls.loads(f.read())
-            if merged is None:
-                merged = part
-            else:
-                merged.merge(part)
-        if merged is None:
+        # merge all checkpointed partitions executor-side: load each state
+        # file where the task runs, then tree-reduce (fan-in bounded) so the
+        # driver only ever receives the single final state
+        if not done:
             merged = self.factory()
-        merged.finalize_merge()
+            merged.finalize_merge()
+        else:
+            from poppy_spark.spark.agg import _STATES_SCHEMA, _z_dumps
+
+            factory = self.factory
+            files = [
+                (int(pid), os.path.join(self.dir, ent["state_file"]))
+                for pid, ent in done.items()
+            ]
+            n_rows_by_pid = {int(pid): ent["n_rows"] for pid, ent in done.items()}
+            fdf = spark.createDataFrame(files, "pid bigint, path string").repartition(
+                min(len(files), spark.sparkContext.defaultParallelism)
+            )
+
+            def load(batches):
+                import pyarrow as pa
+
+                cls = type(factory())
+                for b in batches:
+                    for pid, path in zip(
+                        b.column(0).to_pylist(), b.column(1).to_pylist()
+                    ):
+                        with open(path, "rb") as f:
+                            sk = cls.loads(f.read())
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array([pid], pa.int64()),
+                                pa.array([_z_dumps(sk)], pa.binary()),
+                                pa.array([n_rows_by_pid.get(pid, 0)], pa.int64()),
+                            ],
+                            ["pid", "state", "n_rows"],
+                        )
+
+            states = fdf.mapInArrow(load, _STATES_SCHEMA)
+            row = merge_states_tree(states, factory, len(files)).collect()[0]
+            merged = type(self.factory()).loads(bytes(row["state"]))
         with open(os.path.join(self.dir, "final.state"), "wb") as f:
             f.write(merged.dumps())
         return merged

@@ -47,6 +47,39 @@ class TestCheckpoint:
         assert sk2.result() == pytest.approx(2000, rel=0.05)
 
 
+    def test_resume_prunes_stale_partitions(self, spark, tmp_path):
+        """After a resume where the input was repartitioned to fewer
+        partitions, manifest entries (and state files) for removed pids are
+        pruned — not silently merged in (which would double-count)."""
+        df8 = spark.range(0, 4000).select(F.format_string("p-%d", "id").alias("k")).repartition(8)
+        ck = SketchCheckpoint(str(tmp_path / "ck3"), HllSketch.factory(12))
+        ck.build(df8, "k")
+        assert ck.metrics()["n_partitions"] == 8
+        df2 = spark.range(0, 1000).select(F.format_string("p-%d", "id").alias("k")).repartition(2)
+        sk = ck.build(df2, "k")
+        m = ck.metrics()
+        assert m["n_partitions"] == 2
+        assert m["total_rows"] == 1000
+        # estimate reflects ONLY the new input, not the stale 4000-key states
+        assert sk.result() == pytest.approx(1000, rel=0.05)
+        states = [f for f in os.listdir(str(tmp_path / "ck3")) if f.startswith("part-")]
+        assert len(states) == 2
+
+    def test_many_partitions_driver_light(self, spark, tmp_path):
+        """256-partition build: states are written executor-side and merged
+        in Spark; the driver never holds more than the final state.  (The
+        memory property is structural — asserted here by the build completing
+        with 256 state files and a correct merged result.)"""
+        df = spark.range(0, 25600).select(F.format_string("m-%08d", "id").alias("k")).repartition(256)
+        ck = SketchCheckpoint(str(tmp_path / "ck256"), BloomSketch.factory(25600, 0.001))
+        sk = ck.build(df, "k")
+        files = [f for f in os.listdir(str(tmp_path / "ck256")) if f.startswith("part-")]
+        assert len(files) == 256
+        assert ck.metrics()["total_rows"] == 25600
+        probe = [f"m-{i:08d}" for i in range(0, 25600, 97)]
+        assert bool(sk.filter.contains_batch(probe).all())
+
+
 class TestStreamingFold:
     def test_micro_batch_fold_equals_batch_build(self, spark, tmp_path):
         """Folding 4 micro-batches through StreamingSketch yields the same
