@@ -70,13 +70,43 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) — word k-shingles of the normalized text."""
-    words = normalized_words(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    """(id, shingle) — word k-shingles of the normalized text.
+
+    The word array is materialized in its own projection BEFORE the
+    ``transform`` lambda: an outer non-attribute expression referenced
+    inside a higher-order-function lambda is re-evaluated per element, so
+    inlining the regex split would cost O(words^2) regex work per document
+    (measured ~3x the whole pipeline at sf0.1)."""
+    wdf = df.select(
+        F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("__w")
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    w = F.col("__w")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return wdf.select("id", F.explode(sh).alias("shingle"))
+
+
+def shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, sh bigint) — 64-bit hashes of the word k-shingles.
+
+    Hashes the k word slots directly (``xxhash64(w[i], w[i+1], ...)``)
+    without ever materializing the shingle string, so everything downstream
+    (the 128 permutation minima, the exact-Jaccard verify join) operates on
+    8-byte hashes.  At 2^64, collisions are negligible next to MinHash's own
+    estimation error.  ``F.get`` (null past the end) keeps sub-k-word
+    documents ANSI-safe; the word array is materialized before the lambda
+    (see :func:`shingles` for why)."""
+    wdf = df.select(
+        F.col(id_col).alias("id"), normalized_words(F.col(text_col)).alias("__w")
+    )
+    w = F.col("__w")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+        lambda i: F.xxhash64(*[F.get(w, i + j) for j in range(k)]),
+    )
+    return wdf.select("id", F.explode(sh).alias("sh"))
 
 
 def minhash_signatures(
@@ -84,28 +114,61 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures.
 
-    One xxhash64 per shingle, then ``n_perms`` universal-hash minima as wide
-    algebraic aggregates — partial aggregation keeps the shuffle at one
-    signature per document.
+    One xxhash64 per shingle string, then ``n_perms`` universal-hash minima
+    as wide algebraic aggregates over the 8-byte shingle hash (hashing a
+    bigint is several times cheaper than re-hashing the string per
+    permutation) — partial aggregation keeps the shuffle at one signature
+    per document.
     """
-    sh = shingles(df, text_col, id_col, k)
+    sh = shingle_hashes(df, text_col, id_col, k)
     # one independent hash family member per permutation: xxhash64 over
-    # (shingle, perm index) — JVM-native, overflow-free under ANSI mode
+    # (shingle_hash, perm index) — JVM-native, overflow-free under ANSI mode
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
         for i in range(n_perms)
     ]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"m{i}" for i in range(n_perms)]).alias("sig"))
 
 
+def _cap_buckets(
+    exploded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Bound the per-bucket membership before a bucket self-join.
+
+    One boilerplate text duplicated B times puts B members in every one of
+    its buckets and the self-join emits B^2 candidate rows per bucket — the
+    classic web-corpus skew blowup (empty strings, cookie banners).  Keeping
+    a deterministic sample of ``max_bucket_size`` members (first by id) caps
+    any bucket's pair count at max^2/2 while exact-duplicate groups are
+    still fully recovered by the cheaper :func:`exact_duplicate_groups`
+    pass.  The row_number window shuffles on the same (bucket) key the join
+    shuffles on, so AQE coalesces it into the join exchange.
+    """
+    if max_bucket_size is None:
+        return exploded
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("id"))
+    return (
+        exploded.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-duplicate pairs via banded LSH.
 
     Documents sharing any band bucket become candidates; a pair with Jaccard
-    similarity s survives with probability 1 - (1 - s^r)^b.
+    similarity s survives with probability 1 - (1 - s^r)^b.  Buckets larger
+    than ``max_bucket_size`` are deterministically down-sampled before the
+    self-join (see :func:`_cap_buckets`); pass ``None`` to disable.
     """
     banded = signatures.select(
         "id",
@@ -121,6 +184,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -157,14 +221,16 @@ def exact_ngram_jaccard(
     df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, k: int = 3
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact shingle-set Jaccard for candidate pairs
-    (the verify stage after LSH)."""
-    sh = shingles(df, text_col, id_col, k).distinct()
+    (the verify stage after LSH).  Operates on 64-bit shingle hashes, so the
+    common-shingle join ships 8 bytes per shingle instead of the string;
+    collisions at 2^64 are negligible."""
+    sh = shingle_hashes(df, text_col, id_col, k).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    # count common shingles per pair via join on shingle
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # count common shingles per pair via join on shingle hash
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
     common = (
-        pairs.join(a, "id_a").join(b, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+        pairs.join(a, "id_a").join(b, ["id_b", "sh"]).groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
@@ -191,14 +257,15 @@ def near_duplicate_pairs(
     n_perms: int = 128,
     bands: int = 32,
     k: int = 3,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact-verify.
 
     Returns (id_a, id_b, jaccard) for pairs with exact shingle Jaccard >=
     ``threshold``.  Zero false negatives among exact duplicates (identical
-    texts share every band bucket)."""
+    texts share every band bucket), up to the ``max_bucket_size`` skew cap."""
     sigs = minhash_signatures(df, text_col, id_col, n_perms, k)
-    cands = lsh_candidate_pairs(sigs, bands, n_perms // bands)
+    cands = lsh_candidate_pairs(sigs, bands, n_perms // bands, max_bucket_size)
     verified = exact_ngram_jaccard(df, text_col, id_col, cands, k)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -238,10 +305,17 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash distance <= ``max_hamming``,
     blocked on 16-bit chunks (a pair within distance 3 must agree on at least
-    one of the 4 chunks)."""
+    one of the 4 chunks).  Chunk buckets larger than ``max_bucket_size`` are
+    deterministically down-sampled before the self-join (skew cap)."""
     sh = simhash64(df, text_col, id_col)
     chunks = sh.select(
         "id",
@@ -256,6 +330,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
             ])
         ).alias("c"),
     ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    chunks = _cap_buckets(chunks, ["chunk", "val"], max_bucket_size)
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (

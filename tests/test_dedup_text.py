@@ -225,3 +225,54 @@ class TestBpeIshTokens:
         assert got[1] == 3
         assert got[2] == 5
         assert got[3] == 0
+
+
+class TestHotBucketCap:
+    def test_hot_bucket_pairs_bounded_recall_kept(self, spark):
+        """One text duplicated 3000 times: candidate pairs from the hot
+        bucket stay bounded by the cap, while recall on normal duplicated
+        pairs is unchanged."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.dedup import lsh_candidate_pairs, minhash_signatures
+
+        normal = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.format_string(
+                "unique document number %d with some distinct words %d %d",
+                "id", F.col("id") * 7, F.col("id") * 13,
+            ).alias("text"),
+        )
+        dup = normal.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        hot = spark.range(0, 3000).select(
+            (F.col("id") + 2_000_000).alias("doc_id"),
+            F.lit("accept all cookies to continue to the site content").alias("text"),
+        )
+        corpus = normal.unionAll(dup).unionAll(hot)
+        cap = 32
+        sigs = minhash_signatures(corpus, "text", "doc_id", n_perms=32, k=3)
+        cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=cap)
+        hot_pairs = cands.filter(
+            (F.col("id_a") >= 2_000_000) & (F.col("id_b") >= 2_000_000)
+        ).count()
+        # per band the hot bucket is capped at `cap` members; identical sigs
+        # mean the same members are kept in every band
+        assert 0 < hot_pairs <= 8 * cap * (cap - 1) // 2
+        found = cands.filter(
+            (F.col("id_a") < 1_000_000) & (F.col("id_b") - F.col("id_a") == 1_000_000)
+        ).count()
+        assert found == 200  # zero false negatives on the normal dup pairs
+
+    def test_simhash_cap_keeps_identical_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.dedup import simhash_near_pairs
+
+        normal = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"),
+            F.format_string("doc %d words %d %d alpha beta", "id", F.col("id") * 3, F.col("id") * 11).alias("text"),
+        )
+        dup = normal.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        pairs = simhash_near_pairs(normal.unionAll(dup), "text", "doc_id", max_hamming=3, max_bucket_size=64)
+        found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+        assert found == 100
