@@ -391,6 +391,223 @@ def q_transcripts_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-2 additions: sharded bloom, v1 distributed, intersection, OptLevel
+# cache paths, partial reads, ANN recall, dedup survivors, hot-bucket cap
+# --------------------------------------------------------------------------
+
+
+def q_sharded_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-range-sharded filter whose single-file size exceeds a
+    configured per-worker state budget while every shard fits it: zero FN
+    through the shuffle-join probe, FPR in bound, and the concatenated
+    shards byte-equal the one-shot build (poppy v2 bucket addressing,
+    ``poppy/src/bloom/v2.rs:125-127,376-382``)."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch, decompress_blob
+    from poppy_spark.spark.sharded import build_sharded_bloom
+
+    orders = _read(spark, sf_dir, "orders")
+    n = orders.count()
+    capacity = max(2 * n, 600_000)
+    budget = 512 * 1024  # bytes one worker is allowed to hold
+    sb = build_sharded_bloom(orders, "o_orderkey", capacity, 0.001, n_shards=8)
+    single = build_sketch(orders, "o_orderkey", BloomSketch.factory(capacity, 0.001))
+    single_bytes = single.dumps()
+    bytes_equal = sb.to_poppy_bytes(max_bytes=1 << 31) == single_bytes
+    exceeds = sb.size_in_bytes() > budget
+    shard_sizes = [
+        len(decompress_blob(bytes(r["state"]))) for r in sb.states.collect()
+    ]
+    shards_fit = max(shard_sizes) <= budget
+    n_missed = sb.contains(orders, "o_orderkey", "hit").filter(~F.col("hit")).count()
+    non = orders.select(
+        F.format_string("sharded-nonmember-%09d", F.col("o_orderkey")).alias("probe")
+    )
+    fp = sb.contains(non, "probe", "hit").filter(F.col("hit")).count()
+    fp_ok = fp / n <= 0.001 * 2
+    return spark.createDataFrame(
+        [(n, n_missed, bytes_equal, exceeds, shards_fit, fp_ok)],
+        "n_keys bigint, n_missed bigint, bytes_equal_single boolean, "
+        "single_exceeds_budget boolean, shards_within_budget boolean, "
+        "fp_within_bound boolean",
+    )
+
+
+def q_bloom_v1_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 (DCSO format, FNV-1 chain) end-to-end distributed: build + probe
+    zero FN, byte-identical states across partition orderings."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+    from poppy_spark.spark.probe import bloom_contains
+
+    orders = _read(spark, sf_dir, "orders")
+    n = orders.count()
+    factory = BloomSketch.factory(n, 0.001, version=1)
+    states = [
+        build_sketch(orders.repartition(p), "o_orderkey", factory).dumps()
+        for p in (3, 8, 17)
+    ]
+    agree = states[0] == states[1] == states[2]
+    n_missed = (
+        bloom_contains(orders, "o_orderkey", states[0], "hit")
+        .filter(~F.col("hit"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n, n_missed, agree)], "n_keys bigint, n_missed bigint, orderings_agree boolean"
+    )
+
+
+def q_bloom_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersection_merge (AND of bitsets, ``poppy/src/bloom/v2.rs``): the
+    count estimate of customers-bloom AND ordering-customers-bloom tracks the
+    exact INTERSECT cardinality (bias is positive: shared coincidental
+    bits)."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    cap = customer.count()
+    factory = BloomSketch.factory(cap, 0.001)
+    b_cust = build_sketch(customer, "c_custkey", factory)
+    b_ord = build_sketch(orders.select("o_custkey").distinct(), "o_custkey", factory)
+    b_cust.filter.intersection_merge(b_ord.filter)
+    est = b_cust.filter.count_estimate
+    n_exact = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").count()
+    )
+    ok = n_exact * 0.85 <= est <= n_exact * 1.3 + 10
+    return spark.createDataFrame(
+        [(n_exact, ok)], "n_exact bigint, within_bound boolean"
+    )
+
+
+def q_bloom_optlevel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OptLevel SPEED/BEST cache-path filters (power-of-two bucket routing +
+    index cache, ``poppy/src/bloom/v2.rs:294-312,467-474``) built
+    distributed, probed with zero false negatives."""
+    from poppy_spark.core import OptLevel
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+    from poppy_spark.spark.probe import bloom_contains
+
+    orders = _read(spark, sf_dir, "orders")
+    n = orders.count()
+    rows = []
+    for opt in (OptLevel.SPEED, OptLevel.BEST):
+        sk = build_sketch(orders, "o_orderkey", BloomSketch.factory(n, 0.001, 2, opt))
+        missed = (
+            bloom_contains(orders, "o_orderkey", sk.dumps(), "hit")
+            .filter(~F.col("hit"))
+            .count()
+        )
+        rows.append((int(opt), n, missed))
+    return spark.createDataFrame(rows, "opt_level bigint, n_keys bigint, n_missed bigint")
+
+
+def q_bloom_partial_read_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial (header-only) reads — the ``show`` command's shape: params and
+    count match the full read without materializing the bucket bytes."""
+    from poppy_spark.core import loads as bloom_loads
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    n = orders.count()
+    raw = build_sketch(orders, "o_orderkey", BloomSketch.factory(n, 0.001)).dumps()
+    full = bloom_loads(raw)
+    part = bloom_loads(raw, partial=True)
+    params_equal = (
+        part.capacity == full.capacity
+        and part.fpp == full.fpp
+        and part.version == full.version
+    )
+    count_matches = part.count_estimate == full.count_estimate
+    return spark.createDataFrame(
+        [(n, count_matches, params_equal)],
+        "n_keys bigint, count_matches boolean, params_equal boolean",
+    )
+
+
+def q_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN recall gate: a perturbed copy of each query vector
+    planted into the corpus must be retrieved in the top-5 for >= 90% of
+    queries (measured 0.98 at these parameters; deterministic seeded
+    planes)."""
+    from poppy_spark.spark.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("qid"), "embedding")
+    planted = q.select(
+        (F.col("qid") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.3)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    approx = lsh_topk(corpus, q, "vec_id", "embedding", "qid", k=5, n_planes=8, n_tables=8)
+    found = approx.filter(F.col("id") == F.col("query_id") + 100_000).count()
+    n_q = q.count()
+    return spark.createDataFrame(
+        [(n_q, found / n_q >= 0.9)], "n_queries bigint, recall_ok boolean"
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup library verbs end-to-end: duplicate the corpus under
+    shifted ids; survivors are exactly the original (min-id) rows and the
+    group id sample stays bounded at max_ids."""
+    from poppy_spark.spark.dedup import drop_exact_duplicates, exact_duplicate_groups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionAll(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    surv = drop_exact_duplicates(both, "text", "doc_id")
+    groups = exact_duplicate_groups(both, "text", "doc_id", max_ids=20)
+    n_surv = surv.count()
+    all_orig = surv.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    n_groups = groups.count()
+    n_sampled = groups.agg(F.sum(F.size("doc_ids"))).collect()[0][0]
+    return spark.createDataFrame(
+        [(n_surv, n_groups, int(n_sampled), all_orig)],
+        "n_survivors bigint, n_groups bigint, n_sampled_ids bigint, "
+        "survivors_all_originals boolean",
+    )
+
+
+def q_lsh_hot_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew robustness: one boilerplate text duplicated 3000x must not blow
+    up LSH candidate generation (per-bucket cap bounds the B^2 self-join)
+    while recall on normal duplicated pairs stays total."""
+    from poppy_spark.spark.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    hot = spark.range(0, 3000).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.lit("accept all cookies to continue to the site content").alias("text"),
+    )
+    corpus = docs.unionAll(dup).unionAll(hot)
+    cap = 32
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_perms=32, k=3)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=cap)
+    hot_pairs = cands.filter(
+        (F.col("id_a") >= 2_000_000) & (F.col("id_b") >= 2_000_000)
+    ).count()
+    bounded = 0 < hot_pairs <= 8 * cap * (cap - 1) // 2
+    found = cands.filter(
+        (F.col("id_a") < 1_000_000) & (F.col("id_b") - F.col("id_a") == 1_000_000)
+    ).count()
+    return spark.createDataFrame(
+        [(n, n - found, bounded)],
+        "n_docs bigint, n_missed bigint, hot_pairs_bounded boolean",
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -421,6 +638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top1": q_cosine_top1,
         "bloom_grouped_membership": q_bloom_grouped_membership,
         "transcripts_invariance": q_transcripts_invariance,
+        "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
+        "bloom_v1_distributed": q_bloom_v1_distributed,
+        "bloom_intersection": q_bloom_intersection,
+        "bloom_optlevel_probe": q_bloom_optlevel_probe,
+        "bloom_partial_read_show": q_bloom_partial_read_show,
+        "ann_planted_recall": q_ann_planted_recall,
+        "dedup_survivors": q_dedup_survivors,
+        "lsh_hot_bucket_cap": q_lsh_hot_bucket_cap,
     }
 
 
@@ -488,4 +713,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY o_orderpriority"
         ),
         "transcripts_invariance": "SELECT TRUE AS stable",
+        "sharded_bloom_semi_join": (
+            "SELECT COUNT(*) AS n_keys, 0 AS n_missed, TRUE AS bytes_equal_single, "
+            "TRUE AS single_exceeds_budget, TRUE AS shards_within_budget, "
+            "TRUE AS fp_within_bound FROM orders"
+        ),
+        "bloom_v1_distributed": (
+            "SELECT COUNT(*) AS n_keys, 0 AS n_missed, TRUE AS orderings_agree FROM orders"
+        ),
+        "bloom_intersection": (
+            "SELECT COUNT(*) AS n_exact, TRUE AS within_bound FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "bloom_optlevel_probe": (
+            "SELECT 2 AS opt_level, COUNT(*) AS n_keys, 0 AS n_missed FROM orders "
+            "UNION ALL "
+            "SELECT 3 AS opt_level, COUNT(*) AS n_keys, 0 AS n_missed FROM orders"
+        ),
+        "bloom_partial_read_show": (
+            "SELECT COUNT(*) AS n_keys, TRUE AS count_matches, TRUE AS params_equal FROM orders"
+        ),
+        "ann_planted_recall": (
+            "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
+        ),
+        "dedup_survivors": (
+            "WITH c AS (SELECT COUNT(*) AS cnt FROM documents GROUP BY text) "
+            "SELECT (SELECT COUNT(*) FROM c) AS n_survivors, "
+            "(SELECT COUNT(*) FROM c) AS n_groups, "
+            "CAST((SELECT SUM(LEAST(cnt * 2, 20)) FROM c) AS BIGINT) AS n_sampled_ids, "
+            "TRUE AS survivors_all_originals"
+        ),
+        "lsh_hot_bucket_cap": (
+            "SELECT COUNT(*) AS n_docs, 0 AS n_missed, TRUE AS hot_pairs_bounded FROM documents"
+        ),
     }

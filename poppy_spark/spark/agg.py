@@ -67,17 +67,18 @@ _Z_MAGIC = b"PSZ1"
 _L4_MAGIC = b"PSL4"
 
 
-def _z_dumps(sk: Sketch) -> bytes:
+def compress_blob(raw: bytes) -> bytes:
+    """LZ4-wrap an in-flight state blob (mostly-zero pages compress ~10x)."""
     import struct
 
     import pyarrow as _pa
 
-    raw = sk.dumps()
     comp = _pa.Codec("lz4").compress(raw).to_pybytes()
     return _L4_MAGIC + struct.pack("<Q", len(raw)) + comp
 
 
-def _z_loads(cls: type, raw: bytes) -> Sketch:
+def decompress_blob(raw: bytes) -> bytes:
+    """Inverse of :func:`compress_blob`; passes unwrapped blobs through."""
     raw = bytes(raw)
     if raw[:4] == _L4_MAGIC:
         import struct
@@ -85,12 +86,20 @@ def _z_loads(cls: type, raw: bytes) -> Sketch:
         import pyarrow as _pa
 
         (orig_len,) = struct.unpack_from("<Q", raw, 4)
-        raw = _pa.Codec("lz4").decompress(raw[12:], orig_len).to_pybytes()
-    elif raw[:4] == _Z_MAGIC:
+        return _pa.Codec("lz4").decompress(raw[12:], orig_len).to_pybytes()
+    if raw[:4] == _Z_MAGIC:
         import zlib
 
-        raw = zlib.decompress(raw[4:])
-    return cls.loads(raw)
+        return zlib.decompress(raw[4:])
+    return raw
+
+
+def _z_dumps(sk: Sketch) -> bytes:
+    return compress_blob(sk.dumps())
+
+
+def _z_loads(cls: type, raw: bytes) -> Sketch:
+    return cls.loads(decompress_blob(raw))
 
 
 def _update_fn(factory: Callable[[], Sketch], col_idx: int = 0, compress: bool = True):

@@ -1,0 +1,434 @@
+"""Bucket-range-sharded poppy v2 Bloom filter — capacity past one worker.
+
+A single poppy v2 filter sized for 10^12 keys is ~2 TB of bucket bytes: it
+cannot be a broadcast value, a per-partition clone, or a driver object.  But
+poppy v2 is *already bucketed* — fixed 4096-byte buckets addressed by
+``xorshift_star(h1) % n_buckets`` (``poppy/src/bloom/v2.rs:125-127,376-382``)
+— so the bucket range is a natural distribution seam: shard s owns the
+contiguous bucket range ``[s*bps, (s+1)*bps)`` and lives as one row of a
+DataFrame, nowhere near the driver.
+
+Shapes (and why they scale):
+
+* **build** — phase 1 maps each key to its ``(shard_id, ibucket, k bit
+  indexes)`` with the existing vectorized wyhash kernels (one ``mapInArrow``
+  pass, batch-deduped); phase 2 repartitions those index tuples BY SHARD and
+  streams them into per-shard bucket arrays (``mapInArrow``, dict of shards
+  per task — memory per task = its shards' bytes, never the row group).
+  Shuffle volume is ~``4 + 8 + 2k`` bytes per distinct key — when the filter
+  is far larger than any partition's data (the 10^12 regime), shipping index
+  tuples beats shipping partial filter states by orders of magnitude.
+* **probe** — same phase-1 indexing, then a cogrouped ``applyInPandas`` on
+  ``shard_id``: each group sees (its probe tuples, its ONE shard state), so
+  every shard state crosses the shuffle exactly once — a probe row never
+  drags a copy of the state along (a plain join would).  An optional
+  ``salt`` replicates each state R ways to bound the per-group probe count.
+* **algebra** — union/intersection are per-shard byte OR/AND (a join on
+  shard_id); the count estimate is poppy's per-bucket-sum formula
+  (``v2.rs:575-588``), which decomposes exactly over contiguous shards.
+
+``to_poppy_bytes()`` reassembles a byte-identical single poppy v2 file (the
+equivalence is the correctness gate), guarded by a size budget since it is a
+driver-side materialization.  Only ``OptLevel.NONE`` is shardable (SPEED /
+BEST add a global index cache that does not decompose; poppy's own parallel
+path clones the whole filter per job instead, ``bin/poppy.rs:31-37``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from poppy_spark.core.params import MergeError, cap_from_bit_size, k as k_fn
+from poppy_spark.core.statekern import BUCKET_BITS, BUCKET_SIZE
+
+__all__ = ["ShardedBloom", "build_sharded_bloom"]
+
+_STATE_SCHEMA = "shard_id int, state binary, n_rows bigint"
+
+
+@dataclass(frozen=True)
+class _Params:
+    """Derived exactly as ``BloomV2.make(capacity, fpp, OptLevel.NONE)``
+    (``poppy/src/bloom/v2.rs:281-329``) so shard reassembly is byte-equal."""
+
+    capacity: int
+    fpp: float
+    n_buckets: int
+    n_hash_buck: int
+    n_shards: int
+    bps: int  # buckets per shard (last shard may be short)
+
+    @classmethod
+    def make(cls, capacity: int, fpp: float, n_shards: int) -> "_Params":
+        bucket_cap = cap_from_bit_size(BUCKET_BITS, fpp)
+        n_buckets = math.ceil(capacity / bucket_cap)
+        n_hash_buck = k_fn(BUCKET_BITS, bucket_cap)
+        n_shards = max(1, min(n_shards, n_buckets))
+        bps = math.ceil(n_buckets / n_shards)
+        n_shards = math.ceil(n_buckets / bps)
+        return cls(capacity, fpp, n_buckets, n_hash_buck, n_shards, bps)
+
+    def shard_buckets(self, shard_id: int) -> int:
+        lo = shard_id * self.bps
+        return min(self.bps, self.n_buckets - lo)
+
+
+def _route_batch(keys: pa.Array, p: _Params, dedup: bool):
+    """(shard_id int32, ibucket int64, idx (n,k) uint16) for one Arrow batch."""
+    from poppy_spark.core import hashkern as hk
+
+    mat, lens = hk.pack_arrow(keys)
+    h1 = hk.hash_pop_batch(mat, lens)
+    keep = None
+    if dedup:
+        h1u, keep = np.unique(h1, return_index=True)
+        h1 = h1u
+    bucket_hash, idx = hk.v2_index_batch(h1, max(p.n_hash_buck, 1))
+    idx = idx[:, : p.n_hash_buck].astype("<u2")
+    nb = np.uint64(p.n_buckets)
+    if p.n_buckets & (p.n_buckets - 1) == 0:
+        ib = bucket_hash & (nb - np.uint64(1))
+    else:
+        ib = bucket_hash % nb
+    shard = (ib // np.uint64(p.bps)).astype(np.int32)
+    return shard, ib.astype(np.int64), idx, keep
+
+
+def _idx_to_binary(idx: np.ndarray) -> pa.Array:
+    """(n, k) '<u2' matrix -> Arrow binary array of 2k-byte rows, zero-copy."""
+    n, k = idx.shape
+    values = pa.py_buffer(np.ascontiguousarray(idx).tobytes())
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * (2 * k)).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, values])
+
+
+def _binary_to_idx(arr, k: int) -> np.ndarray:
+    """Arrow binary column of 2k-byte rows -> (n, k) uint16 matrix."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, k), dtype=np.uint16)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    flat = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    return flat.view("<u2").reshape(n, k)
+
+
+def _or_bits_into(buckets: np.ndarray, ib_local: np.ndarray, idx: np.ndarray) -> None:
+    from poppy_spark.core.statekern import _or_scatter_bits
+
+    bit_ids = (
+        ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
+    )[:, None] + idx.astype(np.uint64)
+    _or_scatter_bits(buckets, np.unique(bit_ids.reshape(-1)))
+
+
+class ShardedBloom:
+    """Handle over ``(shard_id, state, n_rows)`` DataFrame + shared params.
+
+    ``states`` holds one row per *touched* shard (raw shard bucket bytes,
+    lz4-wrapped); untouched shards are implicit all-zero.
+    """
+
+    def __init__(self, params: _Params, states: DataFrame):
+        self.params = params
+        self.states = states
+
+    # --- probe -----------------------------------------------------------------
+    def contains(
+        self,
+        df: DataFrame,
+        col: str,
+        output_col: str = "hit",
+        salt: int = 1,
+    ) -> DataFrame:
+        """Append a boolean membership column via a shuffle-join probe.
+
+        Probe rows ship only ``(rid, shard_id, ibucket, 2k idx bytes)``; each
+        shard state crosses the wire once (``salt`` times if salted).  Row
+        identity uses ``monotonically_increasing_id`` over the input scan —
+        stable because no shuffle separates the id assignment from the join
+        back.
+        """
+        from poppy_spark.spark.agg import _as_key, decompress_blob
+
+        p = self.params
+        keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+        probes = keyed.select("__rid", _as_key(keyed, col).alias("__key"))
+
+        def index_fn(batches):
+            for b in batches:
+                shard, ib, idx, _ = _route_batch(b.column(1), p, dedup=False)
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(0), pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
+                    ["rid", "shard_id", "ib", "idx"],
+                )
+
+        tuples = probes.mapInArrow(
+            index_fn, "rid bigint, shard_id int, ib bigint, idx binary"
+        )
+        if salt > 1:
+            tuples = tuples.withColumn(
+                "salt", F.pmod(F.xxhash64("rid"), F.lit(salt)).cast("int")
+            )
+            states = self.states.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            ).withColumn("salt", F.col("salt").cast("int"))
+            gkeys = ["shard_id", "salt"]
+        else:
+            states = self.states
+            gkeys = ["shard_id"]
+
+        k, bps = p.n_hash_buck, p.bps
+
+        def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame({"rid": pd.Series(dtype="int64"),
+                                     "hit": pd.Series(dtype="bool")})
+            if right.empty:  # untouched shard: all-zero buckets
+                return pd.DataFrame({"rid": left["rid"], "hit": False})
+            buckets = np.frombuffer(
+                decompress_blob(right["state"].iloc[0]), dtype=np.uint8
+            )
+            shard_id = int(right["shard_id"].iloc[0])
+            ib_local = left["ib"].to_numpy() - shard_id * bps
+            idx = _binary_to_idx(pa.array(left["idx"]), k)
+            bit_ids = (
+                ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
+            )[:, None] + idx.astype(np.uint64)
+            flat = bit_ids.reshape(-1)
+            byte_off = (flat >> np.uint64(3)).astype(np.int64)
+            bitmask = (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+            hit = ((buckets[byte_off] & bitmask) != 0).reshape(-1, k).all(axis=1)
+            return pd.DataFrame({"rid": left["rid"], "hit": hit})
+
+        hits = (
+            tuples.groupBy(*gkeys)
+            .cogroup(states.groupBy(*gkeys))
+            .applyInPandas(check, "rid bigint, hit boolean")
+        )
+        return (
+            keyed.join(hits.withColumnRenamed("rid", "__rid"), "__rid")
+            .withColumnRenamed("hit", output_col)
+            .drop("__rid")
+        )
+
+    def semi_join(self, df: DataFrame, col: str) -> DataFrame:
+        return self.contains(df, col, "__hit__").filter(F.col("__hit__")).drop("__hit__")
+
+    def anti_join(self, df: DataFrame, col: str) -> DataFrame:
+        return self.contains(df, col, "__hit__").filter(~F.col("__hit__")).drop("__hit__")
+
+    # --- algebra ---------------------------------------------------------------
+    def _merge(self, other: "ShardedBloom", op: str) -> "ShardedBloom":
+        if self.params != other.params:
+            raise MergeError("cannot merge sharded blooms with different parameters")
+        from poppy_spark.spark.agg import compress_blob, decompress_blob
+
+        how = "full" if op == "or" else "inner"
+        a = self.states.select("shard_id", F.col("state").alias("sa"), F.col("n_rows").alias("na"))
+        b = other.states.select("shard_id", F.col("state").alias("sb"), F.col("n_rows").alias("nb"))
+        joined = a.join(b, "shard_id", how)
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for r in pdf.itertuples(index=False):
+                xa = decompress_blob(r.sa) if r.sa is not None else None
+                xb = decompress_blob(r.sb) if r.sb is not None else None
+                if xa is None:
+                    blob = xb
+                elif xb is None:
+                    blob = xa
+                else:
+                    va = np.frombuffer(xa, dtype=np.uint8)
+                    vb = np.frombuffer(xb, dtype=np.uint8)
+                    blob = (
+                        (va | vb) if op == "or" else (va & vb)
+                    ).tobytes()
+                na = int(r.na) if r.na is not None and not pd.isna(r.na) else 0
+                nb_ = int(r.nb) if r.nb is not None and not pd.isna(r.nb) else 0
+                out.append((int(r.shard_id), compress_blob(bytes(blob)), na + nb_))
+            return pd.DataFrame(out, columns=["shard_id", "state", "n_rows"])
+
+        merged = joined.groupBy("shard_id").applyInPandas(
+            lambda pdf: combine(pdf), _STATE_SCHEMA
+        )
+        return ShardedBloom(self.params, merged)
+
+    def union(self, other: "ShardedBloom") -> "ShardedBloom":
+        """Per-shard bitwise OR (poppy ``union_merge``, ``v2.rs:476-494``)."""
+        return self._merge(other, "or")
+
+    def intersection(self, other: "ShardedBloom") -> "ShardedBloom":
+        """Per-shard bitwise AND (poppy ``intersection_merge``)."""
+        return self._merge(other, "and")
+
+    # --- estimates ---------------------------------------------------------------
+    def count_estimate(self) -> int:
+        """Sum of per-bucket truncated estimates (``v2.rs:575-588``) — the
+        per-bucket sum decomposes exactly over contiguous shards, so this
+        equals ``BloomV2.update_count()`` on the reassembled filter."""
+        from poppy_spark.spark.agg import decompress_blob
+        from poppy_spark.core.statekern import _sum_bucket_estimates, v2_bucket_ones
+
+        n_hash = self.params.n_hash_buck
+
+        @F.pandas_udf("decimal(38,0)")
+        def shard_est(states: pd.Series) -> pd.Series:
+            import decimal
+
+            out = []
+            for s in states:
+                buckets = np.frombuffer(decompress_blob(s), dtype=np.uint8)
+                nb = buckets.size // BUCKET_SIZE
+                out.append(decimal.Decimal(_sum_bucket_estimates(v2_bucket_ones(buckets, nb), n_hash)))
+            return pd.Series(out)
+
+        row = self.states.agg(F.sum(shard_est(F.col("state"))).alias("est")).collect()[0]
+        return int(row["est"] or 0)
+
+    def n_rows(self) -> int:
+        return int(self.states.agg(F.sum("n_rows")).collect()[0][0] or 0)
+
+    # --- export / persistence ------------------------------------------------------
+    def size_in_bytes(self) -> int:
+        """Uncompressed logical filter size (all shards)."""
+        return self.params.n_buckets * BUCKET_SIZE
+
+    def to_poppy_bytes(self, max_bytes: int = 1 << 30) -> bytes:
+        """Reassemble the single-file poppy v2 filter — byte-identical to a
+        one-node build with the same (capacity, fpp, OptLevel.NONE).
+
+        Driver-side materialization: guarded by ``max_bytes`` because a
+        sharded filter exists precisely to exceed single-process memory.
+        """
+        from poppy_spark.core.v2 import BloomV2
+        from poppy_spark.spark.agg import decompress_blob
+
+        p = self.params
+        if self.size_in_bytes() > max_bytes:
+            raise MemoryError(
+                f"sharded filter is {self.size_in_bytes()} bytes uncompressed; "
+                f"refusing driver-side reassembly past max_bytes={max_bytes}"
+            )
+        buckets = np.zeros(p.n_buckets * BUCKET_SIZE, dtype=np.uint8)
+        for r in self.states.select("shard_id", "state").collect():
+            lo = r["shard_id"] * p.bps * BUCKET_SIZE
+            blob = np.frombuffer(decompress_blob(r["state"]), dtype=np.uint8)
+            buckets[lo : lo + blob.size] = blob
+        filt = BloomV2(
+            p.capacity, p.fpp, p.n_hash_buck, p.n_buckets, 0, 0, buckets
+        )
+        filt.update_count()
+        return filt.dumps()
+
+    def save(self, directory: str) -> None:
+        """Persist as parquet shard rows + a JSON params sidecar."""
+        self.states.write.mode("overwrite").parquet(os.path.join(directory, "shards"))
+        meta = {
+            "capacity": self.params.capacity,
+            "fpp": self.params.fpp,
+            "n_buckets": self.params.n_buckets,
+            "n_hash_buck": self.params.n_hash_buck,
+            "n_shards": self.params.n_shards,
+            "bps": self.params.bps,
+        }
+        spark = self.states.sparkSession
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(directory, "meta"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, directory: str) -> "ShardedBloom":
+        meta_raw = spark.read.json(os.path.join(directory, "meta")).collect()[0]["meta"]
+        m = json.loads(meta_raw)
+        p = _Params(
+            m["capacity"], m["fpp"], m["n_buckets"], m["n_hash_buck"],
+            m["n_shards"], m["bps"],
+        )
+        return cls(p, spark.read.parquet(os.path.join(directory, "shards")))
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    col: str,
+    capacity: int,
+    fpp: float = 0.001,
+    n_shards: int | None = None,
+    target_shard_bytes: int = 64 << 20,
+    persist: bool = True,
+) -> ShardedBloom:
+    """Distributed build of a bucket-range-sharded poppy v2 filter.
+
+    ``n_shards`` defaults to whatever keeps a shard near
+    ``target_shard_bytes`` (64 MB — comfortably inside one task while giving
+    a 2 TB filter ~32k-way spread).  ``persist=True`` caches the shard
+    states (they are the reusable product; recomputing them re-runs the
+    whole build).
+    """
+    from poppy_spark.spark.agg import _as_key, compress_blob
+
+    total_buckets = math.ceil(capacity / cap_from_bit_size(BUCKET_BITS, fpp))
+    if n_shards is None:
+        n_shards = max(1, math.ceil(total_buckets * BUCKET_SIZE / target_shard_bytes))
+    p = _Params.make(capacity, fpp, n_shards)
+
+    keys = df.select(_as_key(df, col).alias("__key"))
+
+    def index_fn(batches):
+        for b in batches:
+            shard, ib, idx, _ = _route_batch(b.column(0), p, dedup=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
+                ["shard_id", "ib", "idx"],
+            )
+
+    # n_rows below counts deduped index tuples (diagnostic), not input rows
+    tuples = keys.mapInArrow(index_fn, "shard_id int, ib bigint, idx binary")
+
+    k, bps, n_buckets = p.n_hash_buck, p.bps, p.n_buckets
+
+    def build_shards(batches):
+        shards: dict[int, np.ndarray] = {}
+        rows: dict[int, int] = {}
+        for b in batches:
+            shard = b.column(0).to_numpy(zero_copy_only=False)
+            ib = b.column(1).to_numpy(zero_copy_only=False)
+            idx = _binary_to_idx(b.column(2), k)
+            for s in np.unique(shard):
+                s = int(s)
+                arr = shards.get(s)
+                if arr is None:
+                    nb = min(bps, n_buckets - s * bps)
+                    arr = shards[s] = np.zeros(nb * BUCKET_SIZE, dtype=np.uint8)
+                    rows[s] = 0
+                m = shard == s
+                _or_bits_into(arr, ib[m] - s * bps, idx[m])
+                rows[s] += int(m.sum())
+        for s, arr in shards.items():
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([s], pa.int32()),
+                    pa.array([compress_blob(arr.tobytes())], pa.binary()),
+                    pa.array([rows[s]], pa.int64()),
+                ],
+                ["shard_id", "state", "n_rows"],
+            )
+
+    states = (
+        tuples.repartition(p.n_shards, "shard_id")
+        .mapInArrow(build_shards, _STATE_SCHEMA)
+    )
+    if persist:
+        states = states.persist()
+    return ShardedBloom(p, states)

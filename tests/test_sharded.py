@@ -1,0 +1,129 @@
+"""Bucket-range-sharded Bloom filter: byte-equivalence with the single-file
+build, zero FN through the shuffle-join probe, algebra, persistence."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from poppy_spark.spark.sharded import ShardedBloom, build_sharded_bloom
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return (
+        spark.range(0, 30000)
+        .select(F.format_string("turn-key-%08d", F.col("id")).alias("k"))
+        .repartition(8)
+    )
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, keys_df):
+    return build_sharded_bloom(keys_df, "k", capacity=30000, fpp=0.001, n_shards=8)
+
+
+class TestShardedEquivalence:
+    def test_bytes_equal_single_build(self, spark, keys_df, sharded):
+        """Concatenated shard bytes ARE the poppy v2 file a one-shot
+        distributed build produces (same capacity/fpp/opt)."""
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+
+        single = build_sketch(keys_df, "k", BloomSketch.factory(30000, 0.001))
+        assert sharded.to_poppy_bytes() == single.dumps()
+
+    def test_shard_count_and_sizes(self, sharded):
+        p = sharded.params
+        # 30k keys @ fpp 0.001 -> 14 buckets; 8 requested shards pack to 7
+        assert p.n_shards == 7 and p.bps == 2
+        rows = sharded.states.collect()
+        assert 1 < len(rows) <= p.n_shards
+        # logical size divides across shards: no shard exceeds bps buckets
+        from poppy_spark.spark.agg import decompress_blob
+
+        for r in rows:
+            blob = decompress_blob(bytes(r["state"]))
+            assert len(blob) <= p.bps * 4096
+
+    def test_count_estimate_matches_reassembled(self, spark, sharded):
+        from poppy_spark.core import loads
+
+        reassembled = loads(sharded.to_poppy_bytes())
+        assert sharded.count_estimate() == reassembled.count_estimate
+        assert sharded.count_estimate() == pytest.approx(30000, rel=0.02)
+
+
+class TestShardedProbe:
+    def test_zero_false_negatives(self, spark, keys_df, sharded):
+        probed = sharded.contains(keys_df, "k", "hit")
+        assert probed.filter("NOT hit").count() == 0
+        assert probed.count() == 30000
+
+    def test_fpr_within_bound(self, spark, sharded):
+        non = spark.range(0, 20000).select(
+            F.format_string("absent-key-%08d", F.col("id")).alias("k")
+        )
+        fp = sharded.contains(non, "k", "hit").filter("hit").count()
+        assert fp / 20000 <= 0.001 * 2
+
+    def test_salted_probe_same_answers(self, spark, keys_df, sharded):
+        plain = sharded.contains(keys_df, "k", "hit")
+        salted = sharded.contains(keys_df, "k", "hit", salt=4)
+        assert plain.filter("NOT hit").count() == salted.filter("NOT hit").count() == 0
+
+    def test_semi_anti_join(self, spark, keys_df, sharded):
+        assert sharded.semi_join(keys_df, "k").count() == 30000
+        absent = spark.range(0, 5000).select(
+            F.format_string("missing-%08d", F.col("id")).alias("k")
+        )
+        # anti join keeps only definite non-members; FPs may remove a few
+        n_anti = sharded.anti_join(absent, "k").count()
+        assert n_anti >= 5000 * (1 - 0.01)
+
+
+class TestShardedAlgebra:
+    def test_union_equals_combined_build(self, spark):
+        a_keys = spark.range(0, 8000).select(F.format_string("union-a-%06d", "id").alias("k"))
+        b_keys = spark.range(4000, 12000).select(F.format_string("union-a-%06d", "id").alias("k"))
+        a = build_sharded_bloom(a_keys, "k", capacity=12000, fpp=0.001, n_shards=4)
+        b = build_sharded_bloom(b_keys, "k", capacity=12000, fpp=0.001, n_shards=4)
+        u = a.union(b)
+        both = a_keys.unionAll(b_keys)
+        combined = build_sharded_bloom(both, "k", capacity=12000, fpp=0.001, n_shards=4)
+        assert u.to_poppy_bytes() == combined.to_poppy_bytes()
+
+    def test_intersection_counts(self, spark):
+        a_keys = spark.range(0, 6000).select(F.format_string("int-%06d", "id").alias("k"))
+        b_keys = spark.range(3000, 9000).select(F.format_string("int-%06d", "id").alias("k"))
+        a = build_sharded_bloom(a_keys, "k", capacity=9000, fpp=0.001, n_shards=4)
+        b = build_sharded_bloom(b_keys, "k", capacity=9000, fpp=0.001, n_shards=4)
+        i = a.intersection(b)
+        est = i.count_estimate()
+        # the AND-of-bitsets estimate has an inherent positive bias from
+        # coincidentally-shared bits (same as poppy's count_common_entries
+        # at this load factor): assert the order of magnitude, never under
+        assert 3000 <= est <= 3000 * 1.3
+
+
+class TestShardedPartitionInvariance:
+    def test_bytes_stable_across_orderings(self, spark):
+        base = spark.range(0, 10000).select(F.format_string("inv-%07d", "id").alias("k"))
+        blobs = []
+        for parts in (3, 8, 17):
+            sb = build_sharded_bloom(base.repartition(parts), "k", capacity=10000, fpp=0.001, n_shards=4)
+            blobs.append(sb.to_poppy_bytes())
+        assert blobs[0] == blobs[1] == blobs[2]
+
+
+class TestShardedPersistence:
+    def test_save_load_roundtrip(self, spark, keys_df, sharded, tmp_path):
+        d = str(tmp_path / "shardedbloom")
+        sharded.save(d)
+        loaded = ShardedBloom.load(spark, d)
+        assert loaded.params == sharded.params
+        assert loaded.to_poppy_bytes() == sharded.to_poppy_bytes()
+        assert loaded.contains(keys_df, "k", "hit").filter("NOT hit").count() == 0
+
+    def test_reassembly_budget_guard(self, sharded):
+        with pytest.raises(MemoryError):
+            sharded.to_poppy_bytes(max_bytes=1024)
