@@ -79,6 +79,33 @@ def main() -> None:
     throughput["bloom_insert_M_keys_per_sec"] = round(n_line / timings["bloom_build"] / 1e6, 3)
     throughput["bloom_probe_M_keys_per_sec"] = round(n_line / timings["bloom_probe"] / 1e6, 3)
 
+    # 2b. bucket-range-sharded build + shuffle-join probe (the >10^9-capacity
+    # path: per-task memory is its shards' bytes, shuffle is index tuples)
+    from poppy_spark.spark.sharded import build_sharded_bloom
+
+    def sharded_build():
+        sb = build_sharded_bloom(
+            lineitem, "l_orderkey", capacity=n_keys, fpp=0.001,
+            n_shards=int(cpus), persist=False,
+        )
+        sb.states.write.format("noop").mode("overwrite").save()
+        return sb
+
+    bench("sharded_build", sharded_build)
+    sb = build_sharded_bloom(
+        lineitem, "l_orderkey", capacity=n_keys, fpp=0.001, n_shards=int(cpus)
+    )
+    sb.states.count()  # materialize the persisted states before timing probes
+    bench(
+        "sharded_probe",
+        lambda: sb.contains(lineitem, "l_orderkey", "hit")
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect(),
+    )
+    sb.states.unpersist()
+    throughput["sharded_insert_M_keys_per_sec"] = round(n_line / timings["sharded_build"] / 1e6, 3)
+    throughput["sharded_probe_M_keys_per_sec"] = round(n_line / timings["sharded_probe"] / 1e6, 3)
+
     # 3. grouped HLL distinct users per event_type
     bench(
         "hll_grouped",

@@ -6,10 +6,12 @@ plus ``efficiency = (T_low / T_high) / (high/low)`` (1.0 = perfect, target
 >= 0.8).  Two N->4N pairs are measured (2->8 and 8->32 cores) for three
 jobs:
 
-* ``bloom``  — bulk Bloom build over raw transcript text (poppy-compatible
+* ``bloom``   — bulk Bloom build over raw transcript text (poppy-compatible
   hashing; the full text crosses the JVM->Python Arrow boundary),
-* ``probe``  — full membership probe of every turn,
-* ``hll``    — distinct-conversation HLL with JVM-side xxhash64 pre-hashing
+* ``sharded`` — the bucket-range-sharded Bloom build (index-tuple shuffle;
+  the 10^12-capacity path — per-task memory is its shards' bytes only),
+* ``probe``   — full membership probe of every turn,
+* ``hll``     — distinct-conversation HLL with JVM-side xxhash64 pre-hashing
   (8 bytes/row across the boundary — the scale path for non-poppy sketches).
 
 Results append to BENCH/BASELINE.md.  Run: python bench/scaling.py [n_convs]
@@ -70,17 +72,27 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
             b = min(b, time.perf_counter() - t0)
         return b
 
+    from poppy_spark.spark.sharded import build_sharded_bloom
+
     state = build_sketch(df, "text", bloom_factory, repartition=PARTITIONS).dumps()
+
+    def sharded_build():
+        sb = build_sharded_bloom(
+            df, "text", capacity=n_rows, fpp=0.001, n_shards=32, persist=False
+        )
+        sb.states.write.format("noop").mode("overwrite").save()
+
     out = {
         "cores": cores,
         "bloom_sec": round(best(lambda: build_sketch(df, "text", bloom_factory, repartition=PARTITIONS)), 3),
+        "sharded_sec": round(best(sharded_build), 3),
         "probe_sec": round(best(
             lambda: bloom_contains(df, "text", state, "hit")
             .agg(F.sum(F.col("hit").cast("long"))).collect()
         ), 3),
         "hll_sec": round(best(lambda: build_sketch(df, "conv_id", hll_factory, repartition=PARTITIONS)), 3),
     }
-    for job in ("bloom", "probe", "hll"):
+    for job in ("bloom", "sharded", "probe", "hll"):
         out[f"{job}_M_turns_per_sec"] = round(n_rows / out[f"{job}_sec"] / 1e6, 3)
     spark.stop()
     return out
@@ -100,22 +112,22 @@ def main() -> None:
         f"Identical jobs over {n_rows:,} transcript turns, {PARTITIONS} pinned "
         f"partitions, best of {REPS} runs per level.",
         "",
-        "| cores | bloom build s | probe s | hll s | bloom M/s | probe M/s | hll M/s |",
-        "|---|---|---|---|---|---|---|",
+        "| cores | bloom s | sharded s | probe s | hll s | bloom M/s | sharded M/s | probe M/s | hll M/s |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for c in levels:
         r = runs[c]
         lines.append(
-            f"| {c} | {r['bloom_sec']} | {r['probe_sec']} | {r['hll_sec']} "
-            f"| {r['bloom_M_turns_per_sec']} | {r['probe_M_turns_per_sec']} "
-            f"| {r['hll_M_turns_per_sec']} |"
+            f"| {c} | {r['bloom_sec']} | {r['sharded_sec']} | {r['probe_sec']} | {r['hll_sec']} "
+            f"| {r['bloom_M_turns_per_sec']} | {r['sharded_M_turns_per_sec']} "
+            f"| {r['probe_M_turns_per_sec']} | {r['hll_M_turns_per_sec']} |"
         )
-    lines += ["", "| pair | bloom eff | probe eff | hll eff |", "|---|---|---|---|"]
+    lines += ["", "| pair | bloom eff | sharded eff | probe eff | hll eff |", "|---|---|---|---|---|"]
     effs = {}
     for lo, hi in PAIRS:
         ratio = hi / lo
         row = [f"| {lo}->{hi} "]
-        for job in ("bloom", "probe", "hll"):
+        for job in ("bloom", "sharded", "probe", "hll"):
             e = (runs[lo][f"{job}_sec"] / runs[hi][f"{job}_sec"]) / ratio
             effs[f"{job}_{lo}to{hi}"] = round(e, 3)
             row.append(f"| {e:.3f} ")

@@ -71,6 +71,11 @@ class BloomFilter:
     def insert_packed(self, mat, lens) -> np.ndarray:
         return self._inner.insert_packed(mat, lens)
 
+    def insert_packed_bulk(self, mat, lens) -> None:
+        """OR-only bulk insert (no newness tracking / count update) — the
+        distributed partial-build path; see BloomV2.insert_packed_bulk."""
+        self._inner.insert_packed_bulk(mat, lens)
+
     def fill(self, keys) -> None:
         self._inner.insert_batch(list(keys))
 

@@ -105,6 +105,26 @@ def _check_capacity(new_per_key: np.ndarray, count: int, capacity: int) -> None:
 # --- v2 (bucketed) -------------------------------------------------------------
 
 
+def v2_or_batch(
+    buckets: np.ndarray,
+    cache: np.ndarray | None,
+    ibucket: np.ndarray,
+    idx: np.ndarray,
+    bucket_hash: np.ndarray,
+) -> None:
+    """OR a batch's bits into a v2 state without newness tracking — the bulk
+    path for distributed partial builds (count is re-estimated at merge)."""
+    if idx.shape[0] == 0:
+        return
+    bit_ids = (
+        (ibucket.astype(U64) * U64(BUCKET_BITS))[:, None] + idx.astype(U64)
+    ).reshape(-1)
+    _or_scatter_bits(buckets, bit_ids)
+    if cache is not None and cache.size:
+        cbits = U64(cache.size * 8)
+        _or_scatter_bits(cache, bucket_hash.astype(U64) & (cbits - U64(1)))
+
+
 def v2_insert_batch(
     buckets: np.ndarray,
     cache: np.ndarray | None,

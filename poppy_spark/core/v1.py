@@ -90,6 +90,17 @@ class BloomV1:
         self.count, new = sk.v1_insert_batch(self.words, idx, self.count, self.capacity)
         return new
 
+    def insert_packed_bulk(self, mat: np.ndarray, lens: np.ndarray) -> None:
+        """OR-only bulk insert for distributed partial builds: no per-key
+        newness hash pass, count left for the merge's re-estimate
+        (``poppy/src/bloom/v1.rs:411-426``)."""
+        idx = self._indexes(mat, lens)
+        if idx.shape[0] == 0:
+            return
+        from .statekern import _or_scatter_bits
+
+        _or_scatter_bits(self.words.view("uint8"), idx.astype("uint64").reshape(-1))
+
     def insert_batch(self, keys) -> np.ndarray:
         return self.insert_packed(*hk.pack_keys(keys))
 

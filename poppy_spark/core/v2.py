@@ -140,6 +140,28 @@ class BloomV2:
         )
         return new
 
+    def insert_packed_bulk(self, mat: np.ndarray, lens: np.ndarray) -> None:
+        """OR-only bulk insert: skips per-key newness tracking (a hash-table
+        pass over n*k bit ids) and leaves ``count`` untouched.
+
+        For distributed builds the sequential count is discarded anyway —
+        the merge re-estimates from bucket popcounts exactly as poppy's
+        ``union_merge`` does (``v2.rs:476-494``) — so the Spark update phase
+        uses this path.  Deviation: a partition exceeding ``capacity`` no
+        longer raises mid-insert; saturation shows up in the final
+        ``count_estimate``/``is_full`` instead.
+        """
+        if self.capacity == 0 and mat.shape[0] > 0:
+            raise TooManyEntries("too many entries, false positive rate cannot be met")
+        ibucket, idx, bucket_hash = self._route(mat, lens)
+        sk.v2_or_batch(
+            self.buckets,
+            self.cache if self.cache.size else None,
+            ibucket,
+            idx,
+            bucket_hash,
+        )
+
     def insert_batch(self, keys) -> np.ndarray:
         return self.insert_packed(*hk.pack_keys(keys))
 

@@ -46,8 +46,12 @@ class BloomSketch(Sketch):
         return make
 
     def update_arrow(self, arr) -> None:
+        # Spark partial-build path: OR-only bulk insert — the per-key newness
+        # hash pass that insert_packed pays for is discarded at merge time
+        # anyway (finalize_merge re-estimates count from bucket popcounts,
+        # poppy union_merge semantics).  update_keys stays exact/sequential.
         mat, lens = arrow_to_text_batch(arr)
-        self.filter.insert_packed(mat, lens)
+        self.filter.insert_packed_bulk(mat, lens)
 
     def update_keys(self, keys) -> None:
         self.filter.insert_batch(keys)
