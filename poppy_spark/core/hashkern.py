@@ -53,6 +53,10 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
         odt = np.int64
     elif pa.types.is_string(typ) or pa.types.is_binary(typ):
         odt = np.int32
+    elif pa.types.is_integer(typ):
+        # poppy int-key semantics: fixed 8-byte LE (hash.rs:44-50)
+        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pack_int64_le(vals)
     else:  # fall back for anything exotic
         return pack_keys(arr.to_pylist())
     bufs = arr.buffers()
@@ -85,6 +89,25 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+def pack_int64_le(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack 64-bit integers as fixed 8-byte little-endian keys.
+
+    This is poppy's typed-key semantics for integers (``poppy/src/hash.rs:
+    44-50``: the blanket impl hashes an int's LE bytes; being <= 8 bytes,
+    the v2 identity shortcut then makes ``hash_pop == the u64 value``, and
+    v1 runs FNV-1 over the 8 LE bytes).  Filters built this way are
+    byte-compatible with Rust-built filters over the same u64/i64 keys —
+    unlike the default Spark-layer cast-to-string canonicalization.
+    """
+    vals = np.asarray(vals)
+    n = vals.shape[0]
+    lens = np.full(n, 8, dtype=np.int64)
+    mat = np.zeros((n, 48), dtype=U8)  # 8 key bytes + 40 guard
+    if n:
+        mat[:, :8] = vals.astype("<i8").view(U8).reshape(n, 8)
+    return mat, lens
+
+
 def pack_keys(keys) -> tuple[np.ndarray, np.ndarray]:
     """Pack an iterable of ``bytes`` (or str, utf-8 encoded) into a
     zero-padded uint8 matrix plus a length vector.
@@ -98,11 +121,13 @@ def pack_keys(keys) -> tuple[np.ndarray, np.ndarray]:
             bufs.append(k.encode("utf-8"))
         elif isinstance(k, (bytes, bytearray, memoryview)):
             bufs.append(bytes(k))
+        elif isinstance(k, (int, np.integer)) and not isinstance(k, bool):
+            # poppy typed-key semantics: ints hash as their LE bytes
+            # (hash.rs:44-50); i64 range enforced like the Rust impl
+            bufs.append(int(k).to_bytes(8, "little", signed=int(k) < 0))
         else:
-            # bytes(int) would silently produce n zero bytes — refuse.
             raise TypeError(
-                f"sketch keys must be str/bytes, got {type(k).__name__}; "
-                "cast numeric columns to string (the Spark layer does this)"
+                f"sketch keys must be str/bytes/int, got {type(k).__name__}"
             )
     n = len(bufs)
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)

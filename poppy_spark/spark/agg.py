@@ -157,7 +157,19 @@ _STATES_SCHEMA = "pid bigint, state binary, n_rows bigint"
 _TEXTUAL = ("string", "binary")
 
 
-def _as_key(df: DataFrame, col: str | Column) -> Column:
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _as_key(df: DataFrame, col: str | Column, int_keys: str = "string") -> Column:
+    """Canonicalize a key column for poppy-compatible hashing.
+
+    ``int_keys="string"`` (default): integer columns hash as their decimal
+    string — simple, but NOT byte-compatible with a Rust-built filter over
+    the same numeric keys.  ``int_keys="le8"``: integers pass through as
+    bigint and hash as fixed 8-byte little-endian values, matching poppy's
+    typed-key blanket impl (``poppy/src/hash.rs:44-50``).  Build and probe
+    must use the same mode or membership breaks.
+    """
     c = F.col(col) if isinstance(col, str) else col
     try:
         dt = df.select(c).schema[0].dataType.simpleString()
@@ -165,17 +177,26 @@ def _as_key(df: DataFrame, col: str | Column) -> Column:
         dt = ""
     if dt in _TEXTUAL:
         return c
+    if int_keys == "le8":
+        if dt in _INTEGRAL:
+            return c.cast("bigint")
+        raise TypeError(f"int_keys='le8' requires an integral column, got {dt or '?'}")
     return c.cast("string")
 
 
-def _key_expr(df: DataFrame, col: str | Column, factory: Callable[[], Sketch]) -> Column:
+def _key_expr(
+    df: DataFrame,
+    col: str | Column,
+    factory: Callable[[], Sketch],
+    int_keys: str = "string",
+) -> Column:
     """Pick the cheapest sound key representation for the sketch: sketches
     that accept any 64-bit hash get JVM-side xxhash64 (8 bytes/row across the
     JVM->Python boundary instead of the raw text); poppy-compatible sketches
     need the raw bytes."""
     if getattr(factory(), "prehash_jvm", False):
         return F.xxhash64(_as_key(df, col))
-    return _as_key(df, col)
+    return _as_key(df, col, int_keys)
 
 
 def build_sketch_df(
@@ -184,6 +205,7 @@ def build_sketch_df(
     factory: Callable[[], Sketch],
     repartition: int | None = None,
     merge_fanout: int = 8,
+    int_keys: str = "string",
 ) -> DataFrame:
     """Distributed sketch build returning a 1-row DataFrame
     ``(pid, state binary, n_rows)`` — the lazy/composable form.
@@ -195,7 +217,7 @@ def build_sketch_df(
     filter for 10^9 keys is ~1.7 GB — the single-task merge would dominate
     the wall-clock; Amdahl measured it at ~60% of a 64-partition build).
     """
-    sdf = df.select(_key_expr(df, col, factory).alias("__key__"))
+    sdf = df.select(_key_expr(df, col, factory, int_keys).alias("__key__"))
     n_parts = sdf.rdd.getNumPartitions()
     if repartition is None:
         # a small file count must not serialize the update phase: spread the
@@ -238,9 +260,10 @@ def build_sketch(
     factory: Callable[[], Sketch],
     repartition: int | None = None,
     merge_fanout: int = 64,
+    int_keys: str = "string",
 ) -> Sketch:
     """Distributed sketch build, returning the merged sketch on the driver."""
-    row = build_sketch_df(df, col, factory, repartition, merge_fanout).collect()[0]
+    row = build_sketch_df(df, col, factory, repartition, merge_fanout, int_keys).collect()[0]
     cls = type(factory())
     return cls.loads(bytes(row["state"]))
 

@@ -105,18 +105,22 @@ def bloom_contains(
     col: str | Column,
     filt: BloomFilter | bytes,
     output_col: str = "hit",
+    int_keys: str = "string",
 ) -> DataFrame:
     """Append a boolean membership column (the ``check`` verb).
 
     The probe key expression mirrors the build side's ``_as_key`` exactly:
     string/binary columns pass through untouched (casting binary to string
     would re-encode non-UTF8 bytes and break the zero-false-negative
-    contract); everything else casts to its string form."""
+    contract); everything else casts to its string form — or, with
+    ``int_keys="le8"``, integers hash as fixed 8-byte LE values matching a
+    filter built with the same mode (poppy's Rust typed-key semantics).
+    Use the SAME mode as the build."""
     from poppy_spark.spark.agg import _as_key
 
     spark = df.sparkSession
     udf = bloom_contains_udf(spark, filt)
-    return df.withColumn(output_col, udf(_as_key(df, col)))
+    return df.withColumn(output_col, udf(_as_key(df, col, int_keys)))
 
 
 def bloom_semi_join(df: DataFrame, col: str, filt: BloomFilter | bytes) -> DataFrame:

@@ -164,3 +164,48 @@ class TestPackArrow:
         h = hk.hash_pop_batch(mat, lens)
         assert int(h[0]) == hash_pop(b"abc")
         assert int(h[1]) == hash_pop(b"defghij")
+
+
+class TestIntKeyPath:
+    """poppy typed-key semantics for integers (``poppy/src/hash.rs:44-50``):
+    an int hashes as its 8 little-endian bytes; being <= 8 bytes, the v2
+    identity shortcut makes hash_pop(k) == k as u64."""
+
+    def test_hash_pop_int_identity(self):
+        from poppy_spark.core.hashes import hash_pop
+
+        for k in (0, 1, 1234, 2**40 + 7, 2**63 - 1):
+            assert hash_pop(k.to_bytes(8, "little")) == k
+
+    def test_pack_int64_le_equals_manual_bytes(self):
+        import numpy as np
+
+        from poppy_spark.core.hashkern import (
+            fnv1_batch, hash_pop_batch, pack_int64_le, pack_keys,
+        )
+
+        vals = np.array([0, 1, 1234, -5, 2**40 + 7, -(2**62)], dtype=np.int64)
+        mat_i, lens_i = pack_int64_le(vals)
+        manual = [int(v).to_bytes(8, "little", signed=v < 0) for v in vals]
+        mat_b, lens_b = pack_keys(manual)
+        assert (hash_pop_batch(mat_i, lens_i) == hash_pop_batch(mat_b, lens_b)).all()
+        assert (fnv1_batch(mat_i, lens_i) == fnv1_batch(mat_b, lens_b)).all()
+        # v2 identity: non-negative ints hash to themselves
+        h = hash_pop_batch(mat_i, lens_i)
+        assert h[2] == 1234 and h[0] == 0
+
+    def test_int_filter_equals_le_bytes_filter(self):
+        """A filter built over int keys is byte-identical to one built over
+        the same keys' LE byte encodings (both v1 and v2) — the Rust
+        cross-compat contract."""
+        from poppy_spark.core import BloomFilter
+
+        keys = list(range(0, 5000, 3))
+        as_bytes = [k.to_bytes(8, "little") for k in keys]
+        for version in (1, 2):
+            fi = BloomFilter.with_version(version, len(keys), 0.001)
+            fi.insert_batch(keys)
+            fb = BloomFilter.with_version(version, len(keys), 0.001)
+            fb.insert_batch(as_bytes)
+            assert fi.dumps() == fb.dumps(), f"v{version} int/bytes mismatch"
+            assert all(fi.contains_batch(keys))

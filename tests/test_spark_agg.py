@@ -254,3 +254,36 @@ class TestBinaryKeyProbe:
         assert len(P._FILTER_CACHE) <= P._FILTER_CACHE_MAX
         # most-recent keys survive
         assert "k49" in P._FILTER_CACHE
+
+
+class TestIntKeysLe8:
+    def test_le8_build_probe_zero_fn_and_rust_compat(self, spark, orders):
+        """int_keys='le8': the distributed filter over a bigint column equals
+        a driver-side filter over the keys' LE bytes (Rust typed-key
+        compatibility), and the le8 probe has zero FN."""
+        from poppy_spark.core import BloomFilter
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+        from poppy_spark.spark.probe import bloom_contains
+
+        n = orders.count()
+        dist = build_sketch(
+            orders, "o_orderkey", BloomSketch.factory(n, 0.001), int_keys="le8"
+        )
+        keys = [int(r[0]) for r in orders.select("o_orderkey").collect()]
+        local = BloomFilter.with_capacity(n, 0.001)
+        local.insert_batch([k.to_bytes(8, "little") for k in keys])
+        local.update_count()
+        assert dist.dumps() == local.dumps()
+        missed = (
+            bloom_contains(orders, "o_orderkey", dist.dumps(), "hit", int_keys="le8")
+            .filter("NOT hit")
+            .count()
+        )
+        assert missed == 0
+
+    def test_le8_refuses_non_integral(self, spark, orders):
+        from poppy_spark.spark.agg import _as_key
+
+        with pytest.raises(TypeError):
+            _as_key(orders, "o_totalprice", int_keys="le8")
