@@ -196,3 +196,54 @@ def bloom_contains_grouped(
         return pd.Series(out)
 
     return df.withColumn(output_col, contains(F.col(group_col), _as_key(df, col)))
+
+
+def bloom_contains_grouped_join(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    states_df: DataFrame,
+    output_col: str = "hit",
+) -> DataFrame:
+    """Per-group membership for HIGH-cardinality groups (e.g. ``conv_id``):
+    a cogrouped shuffle join instead of a broadcast dict.
+
+    Probe rows and group states shuffle on the group key; each group's
+    filter crosses the wire exactly once and meets only its own rows, so
+    nothing scales with (n_groups x executors) the way a broadcast would.
+    Rows whose group has no state probe False.  Output = ``df`` columns +
+    ``output_col``.
+    """
+    from poppy_spark.spark.agg import _as_key
+
+    gname = states_df.columns[0] if group_col not in states_df.columns else group_col
+    states = states_df.select(F.col(gname).alias("__g"), "state")
+    keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+    probes = keyed.select(
+        "__rid", F.col(group_col).alias("__g"), _as_key(keyed, col).alias("__key")
+    )
+
+    def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"__rid": pd.Series(dtype="int64"), "hit": pd.Series(dtype="bool")}
+            )
+        if right.empty:
+            return pd.DataFrame({"__rid": left["__rid"], "hit": False})
+        from poppy_spark.core import loads
+        from poppy_spark.core.hashkern import pack_arrow
+
+        f = loads(bytes(right["state"].iloc[0]))
+        mat, lens = pack_arrow(pa.Array.from_pandas(left["__key"]))
+        return pd.DataFrame({"__rid": left["__rid"], "hit": f.contains_packed(mat, lens)})
+
+    hits = (
+        probes.groupBy("__g")
+        .cogroup(states.groupBy("__g"))
+        .applyInPandas(check, "__rid bigint, hit boolean")
+    )
+    return (
+        keyed.join(hits, "__rid")
+        .withColumnRenamed("hit", output_col)
+        .drop("__rid")
+    )

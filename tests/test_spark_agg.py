@@ -287,3 +287,47 @@ class TestIntKeysLe8:
 
         with pytest.raises(TypeError):
             _as_key(orders, "o_totalprice", int_keys="le8")
+
+
+class TestGroupedJoinProbe:
+    def test_join_probe_matches_broadcast_probe(self, spark):
+        """High-cardinality grouped probe (cogrouped shuffle join) returns
+        the same hits as the broadcast variant, zero FN per group."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch_grouped
+        from poppy_spark.spark.probe import (
+            bloom_contains_grouped,
+            bloom_contains_grouped_join,
+        )
+
+        df = spark.range(0, 20000).select(
+            (F.col("id") % 500).cast("string").alias("g"),
+            F.format_string("gk-%06d", "id").alias("k"),
+        )
+        states = build_sketch_grouped(df, "k", ["g"], BloomSketch.factory(20000, 0.001))
+        joined = bloom_contains_grouped_join(df, "k", "g", states, "hit")
+        assert joined.count() == 20000
+        assert joined.filter("NOT hit").count() == 0
+        bcast = bloom_contains_grouped(df, "k", "g", states, "hit")
+        assert (
+            joined.filter("hit").count() == bcast.filter("hit").count() == 20000
+        )
+
+    def test_join_probe_unknown_group_false(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch_grouped
+        from poppy_spark.spark.probe import bloom_contains_grouped_join
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.format_string("jk-%05d", "id").alias("k"),
+        )
+        states = build_sketch_grouped(df, "k", ["g"], BloomSketch.factory(1000, 0.001))
+        alien = df.withColumn("g", F.lit("no-such-group"))
+        probed = bloom_contains_grouped_join(alien, "k", "g", states, "hit")
+        assert probed.filter("hit").count() == 0
+        assert probed.count() == 1000
