@@ -554,6 +554,19 @@ def q_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline) —
+    id pairs with cosine >= 0.4, cross-checked against DuckDB's
+    list_cosine_similarity."""
+    from poppy_spark.spark.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return pairs.select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup library verbs end-to-end: duplicate the corpus under
     shifted ids; survivors are exactly the original (min-id) rows and the
@@ -644,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_optlevel_probe": q_bloom_optlevel_probe,
         "bloom_partial_read_show": q_bloom_partial_read_show,
         "ann_planted_recall": q_ann_planted_recall,
+        "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
         "lsh_hot_bucket_cap": q_lsh_hot_bucket_cap,
     }
@@ -735,6 +749,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_planted_recall": (
             "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
+        ),
+        "cosine_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "dedup_survivors": (
             "WITH c AS (SELECT COUNT(*) AS cnt FROM documents GROUP BY text) "

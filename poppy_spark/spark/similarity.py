@@ -67,6 +67,63 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine similarity >= ``threshold`` —
+    embedding-space near-duplicate detection for the dedup family.
+
+    ``method="exact"`` scores every pair (a self cross join: n^2/2 dot
+    products — the correctness baseline, fine up to ~10^5 vectors).
+    ``method="lsh"`` prunes to pairs sharing any of ``n_tables``
+    hyperplane-sign buckets before exact scoring (the 100 TB path; recall
+    < 1 for pairs far below cosine ~1, so verify-stage thresholds near 1
+    keep recall high — see the planted-recall gate).
+    """
+    c = with_normalized(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("vec_n").alias("v")
+    )
+    if method == "exact":
+        a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim = len(corpus.select(vec_col).first()[0])
+        cb = c
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=7_777_777 + t)
+            cb = cb.withColumn(f"b{t}", lsh_bucket(F.col("v"), planes))
+        buckets = cb.select(
+            "id", "v",
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(n_tables)
+            ])).alias("tb"),
+        ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        l, r = buckets.alias("a"), buckets.alias("b")
+        pairs = (
+            l.join(r, (F.col("a.t") == F.col("b.t")) & (F.col("a.b") == F.col("b.b"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
+                F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    scored = pairs.select(
+        "id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7_777_777) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
