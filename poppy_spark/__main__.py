@@ -53,6 +53,8 @@ def _count_lines(paths: list[str]) -> int:
 
 
 def cmd_create(args) -> int:
+    if args.jobs > 1:
+        return _create_spark(args)
     cap = args.capacity
     if args.files:
         cap = _count_lines(args.files)
@@ -60,6 +62,44 @@ def cmd_create(args) -> int:
     for chunk in _iter_chunks(args.files):
         bf.insert_batch(chunk)
     bf.save(args.filter)
+    return 0
+
+
+def _create_spark(args) -> int:
+    """Parallel create (the reference's ``-j N`` path, ``bin/poppy.rs:232-282``
+    — clone-insert-fold there, Spark partial-aggregation here).  With
+    ``--shards`` the build goes through the bucket-range-sharded pipeline
+    and reassembles the identical single poppy file at the end."""
+    if not args.files:
+        print("create -j N requires input files (stdin is single-process)", file=sys.stderr)
+        return 2
+    from poppy_spark.spark.session import get_spark
+
+    spark = get_spark(
+        "poppy-cli-create", master=f"local[{args.jobs}]", shuffle_partitions=args.jobs
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.text(args.files)
+    cap = df.count()  # capacity from exact line count, like the local path
+    if args.shards > 1:
+        if args.version != 2 or args.opt != 0:
+            print("--shards requires v2 with OptLevel NONE", file=sys.stderr)
+            return 2
+        from poppy_spark.spark.sharded import build_sharded_bloom
+
+        sb = build_sharded_bloom(df, "value", cap, args.fpp, n_shards=args.shards)
+        raw = sb.to_poppy_bytes()
+        with open(args.filter, "wb") as f:
+            f.write(raw)
+    else:
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+
+        sk = build_sketch(
+            df, "value", BloomSketch.factory(cap, args.fpp, args.version, args.opt)
+        )
+        sk.filter.save(args.filter)
+    spark.stop()
     return 0
 
 
@@ -157,6 +197,10 @@ def main(argv=None) -> int:
     c.add_argument("-p", "--fpp", type=float, default=0.01)
     c.add_argument("--version", type=int, default=2)
     c.add_argument("-O", "--opt", type=int, default=0)
+    c.add_argument("-j", "--jobs", type=int, default=1,
+                   help="parallel build via Spark local[N] (reference -j)")
+    c.add_argument("--shards", type=int, default=1,
+                   help="with -j: bucket-range-sharded build, reassembled to one file")
     c.add_argument("filter")
     c.add_argument("files", nargs="*")
     c.set_defaults(fn=cmd_create)

@@ -59,3 +59,28 @@ class TestCli:
     def test_bench_gate_passes(self, wordfile, capsys):
         assert main(["bench", "-p", "0.001", "--runs", "1", wordfile]) == 0
         assert "avg fpr" in capsys.readouterr().out
+
+
+class TestParallelCreate:
+    def test_jobs_and_sharded_create_match_local(self, tmp_path):
+        """create -j 4 (Spark) and -j 4 --shards 4 both produce the same
+        bytes as the single-process create (modulo the count field, which
+        the parallel paths re-estimate — compare params + membership)."""
+        from poppy_spark.__main__ import main
+        from poppy_spark.core import load
+
+        data = tmp_path / "keys.txt"
+        lines = [f"cli-key-{i:06d}" for i in range(5000)]
+        data.write_text("\n".join(lines) + "\n")
+        f_local = str(tmp_path / "local.pop")
+        f_spark = str(tmp_path / "spark.pop")
+        f_shard = str(tmp_path / "shard.pop")
+        assert main(["create", "-p", "0.01", f_local, str(data)]) == 0
+        assert main(["create", "-p", "0.01", "-j", "4", f_spark, str(data)]) == 0
+        assert main(["create", "-p", "0.01", "-j", "4", "--shards", "4", f_shard, str(data)]) == 0
+        # spark paths agree with each other byte-for-byte
+        assert open(f_spark, "rb").read() == open(f_shard, "rb").read()
+        a, b = load(f_local), load(f_spark)
+        assert a.has_same_params(b)
+        probe = [s.encode() for s in lines[:500]]
+        assert all(b.contains_batch(probe))
