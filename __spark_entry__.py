@@ -554,6 +554,44 @@ def q_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: a rate-micro-batch readStream folded
+    through foreachBatch into one Bloom state; every streamed value must be
+    a member of the final filter (zero FN across micro-batch boundaries)."""
+    import tempfile
+
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.streaming import StreamingSketch
+
+    n_rows = 500  # rate-micro-batch under availableNow yields one batch
+    with tempfile.TemporaryDirectory() as d:
+        ss = StreamingSketch(f"{d}/state", BloomSketch.factory(4 * n_rows, 0.001))
+        stream = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 500)
+            .option("numPartitions", 4)
+            .option("startTimestamp", 0)
+            .load()
+            .select(F.format_string("stream-evt-%06d", F.col("value")).alias("value"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(ss)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        sk = ss.current()
+    probes = [f"stream-evt-{i:06d}" for i in range(n_rows)]
+    hits = sk.filter.contains_batch(probes)
+    n_streamed = int(sk.filter.count_estimate)
+    n_missed = int(len(probes) - int(hits.sum()))
+    return spark.createDataFrame(
+        [(len(probes), n_missed, n_streamed >= n_rows // 2)],
+        "n_probed bigint, n_missed bigint, state_nonempty boolean",
+    )
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline) —
     id pairs with cosine >= 0.4, cross-checked against DuckDB's
@@ -657,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_optlevel_probe": q_bloom_optlevel_probe,
         "bloom_partial_read_show": q_bloom_partial_read_show,
         "ann_planted_recall": q_ann_planted_recall,
+        "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
         "lsh_hot_bucket_cap": q_lsh_hot_bucket_cap,
@@ -749,6 +788,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_planted_recall": (
             "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
+        ),
+        "streaming_fold": (
+            "SELECT 500 AS n_probed, 0 AS n_missed, TRUE AS state_nonempty"
         ),
         "cosine_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "

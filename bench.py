@@ -130,7 +130,6 @@ def main() -> None:
     bench(
         "neardup_docs",
         lambda: near_duplicate_pairs(docs, "text", "doc_id", threshold=0.8, n_perms=64, bands=16).count(),
-        runs=1,
     )
     # 9. text quality + language id over documents
     from poppy_spark.spark.text import detect_language, quality_score
