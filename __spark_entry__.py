@@ -192,6 +192,32 @@ def q_cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n_exact bigint, within_bound boolean")
 
 
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters: the exact top-10 users' estimated counts
+    must sit inside the published MG bound [n_exact - N/(m+1), n_exact]
+    after the distributed merge tree (mergeable-summaries guarantee)."""
+    from poppy_spark.sketches import TopKSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    events = _read(spark, sf_dir, "events")
+    sk = build_sketch(events, "user_id", TopKSketch.factory(256))
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    )
+    rows = []
+    for r in exact:
+        est = sk.estimate(str(r["user_id"]))
+        ok = r["n_exact"] - sk.max_error <= est <= r["n_exact"]
+        rows.append((r["user_id"], r["n_exact"], ok))
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_exact bigint, within_bound boolean"
+    )
+
+
 # --------------------------------------------------------------------------
 # Quantiles: KLL median and t-digest p99 per group (SURVEY §2.9)
 # --------------------------------------------------------------------------
@@ -695,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_optlevel_probe": q_bloom_optlevel_probe,
         "bloom_partial_read_show": q_bloom_partial_read_show,
         "ann_planted_recall": q_ann_planted_recall,
+        "topk_users": q_topk_users,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -788,6 +815,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_planted_recall": (
             "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
+        ),
+        "topk_users": (
+            "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
+            "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
         ),
         "streaming_fold": (
             "SELECT 500 AS n_probed, 0 AS n_missed, TRUE AS state_nonempty"

@@ -1,4 +1,5 @@
-"""Mergeable sketch family (Bloom, HLL, count-min, KLL, t-digest, MinHash).
+"""Mergeable sketch family (Bloom, HLL, count-min, KLL,
+t-digest, MinHash, Misra-Gries top-k).
 
 All follow the update/merge/result contract proven by poppy's Bloom union
 (fixed-size state, elementwise update, commutative+associative merge) so each
@@ -13,10 +14,11 @@ from .hll import HllSketch
 from .kll import KllSketch
 from .minhash import MinHashSketch
 from .tdigest import TDigestSketch
+from .topk import TopKSketch
 
 SKETCH_KINDS = {
     cls.kind: cls
-    for cls in (BloomSketch, HllSketch, CmsSketch, KllSketch, TDigestSketch, MinHashSketch)
+    for cls in (BloomSketch, HllSketch, CmsSketch, KllSketch, TDigestSketch, MinHashSketch, TopKSketch)
 }
 
 __all__ = [
@@ -27,5 +29,6 @@ __all__ = [
     "KllSketch",
     "MinHashSketch",
     "TDigestSketch",
+    "TopKSketch",
     "SKETCH_KINDS",
 ]

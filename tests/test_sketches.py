@@ -246,3 +246,66 @@ class TestCosineNearDup:
         # design — LSH targets the near-1 regime (see the planted-recall
         # oracle gate); here we only pin that pruning finds *some* pairs
         assert len(l) >= 0.1 * len(e)
+
+
+class TestTopKSketch:
+    def test_mg_bound_and_exactness_under_capacity(self):
+        from poppy_spark.sketches import TopKSketch
+
+        s = TopKSketch(m=8)
+        s.update_keys(["a"] * 100 + ["b"] * 50 + ["c"] * 10)
+        # fewer distinct keys than m: exact
+        assert s.estimate("a") == 100 and s.estimate("b") == 50
+
+    def test_mg_bound_over_capacity(self):
+        import numpy as np
+
+        from poppy_spark.sketches import TopKSketch
+
+        rng = np.random.default_rng(7)
+        keys = ["hot"] * 500 + [f"k{i}" for i in rng.integers(0, 2000, 5000)]
+        rng.shuffle(keys)
+        s = TopKSketch(m=64)
+        for i in range(0, len(keys), 700):
+            s.update_keys(keys[i : i + 700])
+        n = len(keys)
+        est = s.estimate("hot")
+        assert 500 - n // 65 <= est <= 500
+        assert s.top(1)[0][0] == b"hot"
+
+    def test_mg_merge_tree_keeps_bound(self):
+        import numpy as np
+
+        from poppy_spark.sketches import TopKSketch
+
+        rng = np.random.default_rng(11)
+        keys = ["big"] * 900 + [f"x{i}" for i in rng.integers(0, 3000, 6000)]
+        rng.shuffle(keys)
+        parts = [keys[i::7] for i in range(7)]
+        sketches = []
+        for p in parts:
+            s = TopKSketch(m=64)
+            s.update_keys(p)
+            sketches.append(s)
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged.merge(TopKSketch.loads(s.dumps()))
+        n = len(keys)
+        assert 900 - n // 65 <= merged.estimate("big") <= 900
+        assert merged.n_total == n
+
+    def test_topk_spark_build_matches_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.sketches import TopKSketch
+        from poppy_spark.spark.agg import build_sketch
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sk = build_sketch(events, "user_id", TopKSketch.factory(256))
+        exact = {
+            str(r["user_id"]): r["n"]
+            for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        for uid, n in list(exact.items())[:20]:
+            est = sk.estimate(uid)
+            assert n - sk.max_error <= est <= n
