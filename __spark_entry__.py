@@ -451,6 +451,7 @@ def q_sharded_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = sb.contains(non, "probe", "hit").filter(F.col("hit")).count()
     fp_ok = fp / n <= 0.001 * 2
+    sb.states.unpersist()
     return spark.createDataFrame(
         [(n, n_missed, bytes_equal, exceeds, shards_fit, fp_ok)],
         "n_keys bigint, n_missed bigint, bytes_equal_single boolean, "
