@@ -73,8 +73,13 @@ def _create_spark(args) -> int:
     if not args.files:
         print("create -j N requires input files (stdin is single-process)", file=sys.stderr)
         return 2
+    from pyspark.sql import SparkSession
+
     from poppy_spark.spark.session import get_spark
 
+    # only stop the session on exit if WE created it — getOrCreate may hand
+    # back a session owned by the embedding process (tests, notebooks)
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark(
         "poppy-cli-create", master=f"local[{args.jobs}]", shuffle_partitions=args.jobs
     )
@@ -99,7 +104,8 @@ def _create_spark(args) -> int:
             df, "value", BloomSketch.factory(cap, args.fpp, args.version, args.opt)
         )
         sk.filter.save(args.filter)
-    spark.stop()
+    if owned:
+        spark.stop()
     return 0
 
 
