@@ -4,6 +4,7 @@ from .agg import (
     build_sketch,
     build_sketch_df,
     build_sketch_grouped,
+    merge_states_tree,
     repartition_salted,
     sketch_value_column,
 )
@@ -13,25 +14,31 @@ from .probe import (
     bloom_anti_join,
     bloom_contains,
     bloom_contains_grouped,
+    bloom_contains_grouped_join,
     bloom_contains_udf,
     bloom_semi_join,
 )
 from .session import get_spark
+from .sharded import ShardedBloom, build_sharded_bloom
 from .streaming import StreamingSketch, merge_grouped_states
 
 __all__ = [
+    "ShardedBloom",
     "SketchCheckpoint",
     "StreamingSketch",
     "bloom_anti_join",
     "bloom_contains",
     "bloom_contains_grouped",
+    "bloom_contains_grouped_join",
     "bloom_contains_udf",
     "bloom_semi_join",
+    "build_sharded_bloom",
     "build_sketch",
     "build_sketch_df",
     "build_sketch_grouped",
     "get_spark",
     "load_table",
+    "merge_states_tree",
     "merge_grouped_states",
     "repartition_salted",
     "sketch_value_column",

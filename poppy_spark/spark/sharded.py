@@ -155,6 +155,7 @@ class ShardedBloom:
         col: str,
         output_col: str = "hit",
         salt: int = 1,
+        int_keys: str = "string",
     ) -> DataFrame:
         """Append a boolean membership column via a shuffle-join probe.
 
@@ -168,7 +169,7 @@ class ShardedBloom:
 
         p = self.params
         keyed = df.withColumn("__rid", F.monotonically_increasing_id())
-        probes = keyed.select("__rid", _as_key(keyed, col).alias("__key"))
+        probes = keyed.select("__rid", _as_key(keyed, col, int_keys).alias("__key"))
 
         def index_fn(batches):
             for b in batches:
@@ -371,6 +372,7 @@ def build_sharded_bloom(
     n_shards: int | None = None,
     target_shard_bytes: int = 64 << 20,
     persist: bool = True,
+    int_keys: str = "string",
 ) -> ShardedBloom:
     """Distributed build of a bucket-range-sharded poppy v2 filter.
 
@@ -387,7 +389,7 @@ def build_sharded_bloom(
         n_shards = max(1, math.ceil(total_buckets * BUCKET_SIZE / target_shard_bytes))
     p = _Params.make(capacity, fpp, n_shards)
 
-    keys = df.select(_as_key(df, col).alias("__key"))
+    keys = df.select(_as_key(df, col, int_keys).alias("__key"))
 
     def index_fn(batches):
         for b in batches:
