@@ -405,6 +405,41 @@ def q_bloom_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcripts_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star shape end-to-end on the transcripts table itself:
+    'has this text been seen?' (Bloom over turn text, salted repartition for
+    the skewed conversation, zero FN) and 'distinct conversations per role'
+    (grouped HLL within its published bound)."""
+    from poppy_spark.data.transcripts import generate_transcripts
+    from poppy_spark.sketches import BloomSketch, HllSketch
+    from poppy_spark.spark.agg import (
+        build_sketch, build_sketch_grouped, repartition_salted, sketch_value_column,
+    )
+    from poppy_spark.spark.probe import bloom_contains
+
+    t = generate_transcripts(spark, n_convs=500, seed=42)
+    t = repartition_salted(t, "conv_id", 16)
+    n_texts = t.select("text").distinct().count()
+    sk = build_sketch(t, "text", BloomSketch.factory(n_texts, 0.001))
+    n_missed = bloom_contains(t, "text", sk.dumps(), "hit").filter(~F.col("hit")).count()
+    states = build_sketch_grouped(t, "conv_id", ["role"], HllSketch.factory(_HLL_P))
+    ests = sketch_value_column(states, HllSketch, "est").select("role", "est")
+    exact = t.groupBy("role").agg(F.countDistinct("conv_id").alias("n"))
+    bad = (
+        exact.join(ests, "role")
+        .filter(
+            F.abs(F.col("est") - F.col("n"))
+            > F.greatest(F.lit(_HLL_TOL) * F.col("n"), F.lit(3.0))
+        )
+        .count()
+    )
+    n_roles = exact.count()
+    return spark.createDataFrame(
+        [(n_missed, n_roles, bad == 0)],
+        "n_missed bigint, n_roles bigint, hll_within_bound boolean",
+    )
+
+
 def q_transcripts_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator determinism: regenerating the transcripts table yields zero
     row differences (per-turn text equality under stable ordering)."""
@@ -715,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_duplicates": q_simhash_duplicates,
         "cosine_top1": q_cosine_top1,
         "bloom_grouped_membership": q_bloom_grouped_membership,
+        "transcripts_sketches": q_transcripts_sketches,
         "transcripts_invariance": q_transcripts_invariance,
         "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
         "bloom_v1_distributed": q_bloom_v1_distributed,
@@ -792,6 +828,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_grouped_membership": (
             "SELECT o_orderpriority, COUNT(*) AS n_keys, 0 AS n_missed "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "transcripts_sketches": (
+            "SELECT 0 AS n_missed, 4 AS n_roles, TRUE AS hll_within_bound"
         ),
         "transcripts_invariance": "SELECT TRUE AS stable",
         "sharded_bloom_semi_join": (
