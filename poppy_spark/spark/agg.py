@@ -261,8 +261,52 @@ def build_sketch(
     repartition: int | None = None,
     merge_fanout: int = 64,
     int_keys: str = "string",
+    strategy: str = "auto",
 ) -> Sketch:
-    """Distributed sketch build, returning the merged sketch on the driver."""
+    """Distributed sketch build, returning the merged sketch on the driver.
+
+    ``strategy`` picks the physical shape (the engine's one non-Catalyst
+    planning decision, since Catalyst cannot see inside the state blobs):
+
+    * ``"states"`` — per-partition partial states + merge tree.  Shuffle
+      cost ~ ``n_partitions x state_size``.
+    * ``"sharded"`` — route through the bucket-range-sharded build and
+      reassemble (Bloom v2 / OptLevel NONE only).  Shuffle cost ~
+      ``n_rows x (12 + 2k)`` bytes.
+    * ``"auto"`` — compare the two cost models and pick: with a big filter
+      over few-ish rows per partition (the 10^9-key regime), shipping one
+      filter-sized state per partition dwarfs shipping index tuples.
+    """
+    sk0 = factory()
+    if strategy == "auto":
+        strategy = "states"
+        filt = getattr(sk0, "filter", None)
+        if (
+            filt is not None
+            and getattr(filt, "version", None) == 2
+            and int(getattr(filt._inner, "opt", 1)) == 0
+        ):
+            state_bytes = filt.size_in_bytes
+            state_bytes = state_bytes() if callable(state_bytes) else state_bytes
+            n_parts = repartition or max(
+                df.rdd.getNumPartitions(),
+                df.sparkSession.sparkContext.defaultParallelism,
+            )
+            k_ = filt._inner.n_hash_buck
+            # rows unknown pre-scan; capacity is the sizing proxy (callers
+            # size capacity at the expected key count)
+            tuple_bytes = filt.capacity * (12 + 2 * k_)
+            if state_bytes * n_parts > 4 * tuple_bytes:
+                strategy = "sharded"
+    if strategy == "sharded":
+        from poppy_spark.spark.sharded import build_sharded_bloom
+
+        filt = sk0.filter
+        sb = build_sharded_bloom(
+            df, col, filt.capacity, filt.fpp, persist=False, int_keys=int_keys
+        )
+        merged = type(sk0).loads(sb.to_poppy_bytes(max_bytes=8 << 30))
+        return merged
     row = build_sketch_df(df, col, factory, repartition, merge_fanout, int_keys).collect()[0]
     cls = type(factory())
     return cls.loads(bytes(row["state"]))

@@ -127,3 +127,31 @@ class TestShardedPersistence:
     def test_reassembly_budget_guard(self, sharded):
         with pytest.raises(MemoryError):
             sharded.to_poppy_bytes(max_bytes=1024)
+
+
+class TestAutoStrategy:
+    def test_auto_routes_big_filter_through_sharded(self, spark):
+        """build_sketch(strategy='auto') picks the index-tuple (sharded)
+        shape when one partial state per partition would dominate the
+        shuffle, and the result is byte-identical to the states shape."""
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+
+        keys = spark.range(0, 5000).select(F.format_string("auto-%06d", "id").alias("k"))
+        # capacity far above row count: big filter, few rows -> sharded wins
+        factory = BloomSketch.factory(20_000_000, 0.001)
+        via_states = build_sketch(keys, "k", factory, strategy="states")
+        via_auto = build_sketch(keys, "k", factory, strategy="auto")
+        assert via_auto.dumps() == via_states.dumps()
+        probe = [f"auto-{i:06d}" for i in range(0, 5000, 13)]
+        assert all(via_auto.filter.contains_batch(probe))
+
+    def test_auto_keeps_states_for_small_filters(self, spark):
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+
+        keys = spark.range(0, 5000).select(F.format_string("small-%06d", "id").alias("k"))
+        factory = BloomSketch.factory(5000, 0.001)
+        a = build_sketch(keys, "k", factory, strategy="auto")
+        b = build_sketch(keys, "k", factory, strategy="states")
+        assert a.dumps() == b.dumps()
