@@ -105,3 +105,69 @@ def test_kll_quantiles_within_range(vals):
     sk.update_values(np.array(vals))
     assert min(vals) <= sk.quantile(0.5) <= max(vals)
     assert sk.quantile(0.0) == min(vals) or sk.n > 64  # exact while uncompressed
+
+
+@SET
+@given(vals=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=100))
+def test_int_keys_equal_le_bytes(vals):
+    """poppy typed-key property: an int key behaves exactly like its 8 LE
+    bytes for every hash and both filter versions."""
+    arr = np.array(vals, dtype=np.int64)
+    mat_i, lens_i = hk.pack_int64_le(arr)
+    manual = [int(v).to_bytes(8, "little", signed=v < 0) for v in vals]
+    mat_b, lens_b = hk.pack_keys(manual)
+    assert (hk.hash_pop_batch(mat_i, lens_i) == hk.hash_pop_batch(mat_b, lens_b)).all()
+    assert (hk.fnv1_batch(mat_i, lens_i) == hk.fnv1_batch(mat_b, lens_b)).all()
+    f_int = BloomFilter.with_capacity(4 * len(vals) + 8, 0.01)
+    f_int.insert_batch(vals)
+    f_byt = BloomFilter.with_capacity(4 * len(vals) + 8, 0.01)
+    f_byt.insert_batch(manual)
+    assert f_int.dumps() == f_byt.dumps()
+
+
+@SET
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=300),
+    m=st.integers(min_value=4, max_value=32),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_topk_mg_bound_any_merge_tree(keys, m, n_parts):
+    """Misra-Gries invariant under arbitrary data and merge splits:
+    true - N/(m+1) <= estimate <= true for every key, and roundtrip."""
+    import collections
+
+    from poppy_spark.sketches import TopKSketch
+
+    parts = [keys[i::n_parts] for i in range(n_parts)]
+    sketches = []
+    for p in parts:
+        s = TopKSketch(m=m)
+        if p:
+            s.update_keys(p)
+        sketches.append(s)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged.merge(TopKSketch.loads(s.dumps()))
+    true = collections.Counter(keys)
+    n = len(keys)
+    slack = n // (m + 1)
+    for k, t in true.items():
+        est = merged.estimate(k)
+        assert t - slack <= est <= t, (k, t, est, slack)
+    assert merged.n_total == n
+
+
+@SET
+@given(keys=st.lists(st.binary(min_size=0, max_size=48), min_size=1, max_size=80))
+def test_bulk_insert_sets_same_bits(keys):
+    """insert_packed_bulk flips exactly the bits insert_packed flips (count
+    differs by design; bits must match for both versions)."""
+    for version in (1, 2):
+        a = BloomFilter.with_version(version, 4 * len(keys) + 8, 0.01)
+        b = BloomFilter.with_version(version, 4 * len(keys) + 8, 0.01)
+        mat, lens = hk.pack_keys(keys)
+        a.insert_packed(mat, lens)
+        b.insert_packed_bulk(mat, lens)
+        b.update_count()
+        a.update_count()
+        assert a.dumps() == b.dumps()
