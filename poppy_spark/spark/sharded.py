@@ -156,16 +156,26 @@ class ShardedBloom:
         output_col: str = "hit",
         salt: int = 1,
         int_keys: str = "string",
+        carry: str = "join",
     ) -> DataFrame:
         """Append a boolean membership column via a shuffle-join probe.
 
-        Probe rows ship only ``(rid, shard_id, ibucket, 2k idx bytes)``; each
-        shard state crosses the wire once (``salt`` times if salted).  Row
-        identity uses ``monotonically_increasing_id`` over the input scan —
-        stable because no shuffle separates the id assignment from the join
-        back.
+        ``carry`` picks how the input row reunites with its hit bit:
+
+        * ``"join"`` (default) — probe tuples ship only ``(rid, shard_id,
+          ibucket, 2k idx bytes)`` and join back on a row id; the original
+          (possibly wide) rows never cross the Python boundary.
+        * ``"columns"`` — all columns flow through the cogroup as Arrow and
+          come back with ``hit`` appended: ONE shuffle instead of two, the
+          right shape for narrow probe frames (a key column or two).
+
+        Either way each shard state crosses the wire exactly once (``salt``
+        times if salted).
         """
         from poppy_spark.spark.agg import _as_key, decompress_blob
+
+        if carry == "columns":
+            return self._contains_columns(df, col, output_col, salt, int_keys)
 
         p = self.params
         keyed = df.withColumn("__rid", F.monotonically_increasing_id())
@@ -226,6 +236,85 @@ class ShardedBloom:
             keyed.join(hits.withColumnRenamed("rid", "__rid"), "__rid")
             .withColumnRenamed("hit", output_col)
             .drop("__rid")
+        )
+
+    def _contains_columns(
+        self, df: DataFrame, col: str, output_col: str, salt: int, int_keys: str
+    ) -> DataFrame:
+        """Single-shuffle probe: rows ride the cogroup as Arrow end-to-end
+        (``applyInArrow``), hit appended in place — no join-back."""
+        import pyspark.sql.types as T
+
+        from poppy_spark.spark.agg import _as_key, decompress_blob
+
+        p = self.params
+        in_cols = list(df.columns)
+        keyed = df.select("*", _as_key(df, col, int_keys).alias("__key"))
+
+        def index_fn(batches):
+            for b in batches:
+                shard, ib, idx, _ = _route_batch(b.column(b.num_columns - 1), p, dedup=False)
+                cols = [b.column(i) for i in range(b.num_columns - 1)]
+                yield pa.RecordBatch.from_arrays(
+                    cols + [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
+                    in_cols + ["__shard_id", "__ib", "__idx"],
+                )
+
+        route_schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("__shard_id", T.IntegerType()),
+                T.StructField("__ib", T.LongType()),
+                T.StructField("__idx", T.BinaryType()),
+            ]
+        )
+        tuples = keyed.mapInArrow(index_fn, route_schema)
+        if salt > 1:
+            tuples = tuples.withColumn(
+                "salt", F.pmod(F.xxhash64("__ib"), F.lit(salt)).cast("int")
+            )
+            states = self.states.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            ).withColumn("salt", F.col("salt").cast("int"))
+            gkeys = ["__shard_id", "salt"]
+            states = states.withColumnRenamed("shard_id", "__shard_id")
+        else:
+            states = self.states.withColumnRenamed("shard_id", "__shard_id")
+            gkeys = ["__shard_id"]
+
+        k, bps = p.n_hash_buck, p.bps
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(output_col, T.BooleanType())]
+        )
+
+        def check(left: pa.Table, right: pa.Table) -> pa.Table:
+            keep = left.select(in_cols)
+            n = left.num_rows
+            if n == 0:
+                return keep.append_column(output_col, pa.array([], pa.bool_()))
+            if right.num_rows == 0:  # untouched shard: all-zero buckets
+                return keep.append_column(
+                    output_col, pa.array(np.zeros(n, dtype=bool))
+                )
+            buckets = np.frombuffer(
+                decompress_blob(right.column("state")[0].as_py()), dtype=np.uint8
+            )
+            shard_id = int(right.column("__shard_id")[0].as_py())
+            ib_local = left.column("__ib").to_numpy(zero_copy_only=False) - shard_id * bps
+            idx = _binary_to_idx(left.column("__idx"), k)
+            bit_ids = (
+                ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
+            )[:, None] + idx.astype(np.uint64)
+            flat = bit_ids.reshape(-1)
+            byte_off = (flat >> np.uint64(3)).astype(np.int64)
+            bitmask = (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+            hit = ((buckets[byte_off] & bitmask) != 0).reshape(-1, k).all(axis=1)
+            return keep.append_column(output_col, pa.array(hit))
+
+        return (
+            tuples.groupBy(*gkeys)
+            .cogroup(states.groupBy(*gkeys))
+            .applyInArrow(check, out_schema)
         )
 
     def semi_join(self, df: DataFrame, col: str) -> DataFrame:

@@ -155,3 +155,23 @@ class TestAutoStrategy:
         a = build_sketch(keys, "k", factory, strategy="auto")
         b = build_sketch(keys, "k", factory, strategy="states")
         assert a.dumps() == b.dumps()
+
+
+class TestCarryColumnsProbe:
+    def test_columns_probe_matches_join_probe(self, spark, keys_df, sharded):
+        j = sharded.contains(keys_df, "k", "hit", carry="join")
+        c = sharded.contains(keys_df, "k", "hit", carry="columns")
+        assert c.columns == keys_df.columns + ["hit"]
+        assert c.filter("NOT hit").count() == j.filter("NOT hit").count() == 0
+        assert c.count() == 30000
+        # non-members agree row-for-row
+        non = spark.range(0, 8000).select(
+            F.format_string("colsprobe-%08d", F.col("id")).alias("k")
+        )
+        jj = {r["k"]: r["hit"] for r in sharded.contains(non, "k", "hit", carry="join").collect()}
+        cc = {r["k"]: r["hit"] for r in sharded.contains(non, "k", "hit", carry="columns").collect()}
+        assert jj == cc
+
+    def test_columns_probe_salted(self, spark, keys_df, sharded):
+        c = sharded.contains(keys_df, "k", "hit", carry="columns", salt=3)
+        assert c.filter("NOT hit").count() == 0
