@@ -221,3 +221,46 @@ class TestFrameSampling:
         assert all(r["count"] == 4 for r in per_doc)  # 0,1000,2000,3000
         offs = sorted(r["frame_ms"] for r in frames.filter("doc_id = 0").collect())
         assert offs == [0, 1000, 2000, 3000]
+
+
+class TestPartitionedStateWarehouse:
+    def test_day_partitioned_states_prune_on_read(self, spark, tmp_path):
+        """The warehouse shape for 10^12-turn rollups: per-(day, role) sketch
+        states written as a day-partitioned table; reading one day's slice
+        partition-prunes (PartitionFilters in the scan) and merge-on-read
+        yields the right estimates without touching other days."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.data.transcripts import generate_transcripts
+        from poppy_spark.spark.agg import build_sketch_grouped
+        from poppy_spark.spark.streaming import merge_grouped_states
+        from poppy_spark.sketches import HllSketch
+
+        t = generate_transcripts(spark, n_convs=400, seed=42).withColumn(
+            "day", F.to_date(F.date_trunc("day", F.col("ts")))
+        )
+        factory = HllSketch.factory(12)
+        out = str(tmp_path / "state_warehouse")
+        # two independent appends (micro-batches / backfills)
+        for part in (
+            t.filter(F.abs(F.xxhash64("conv_id")) % 2 == 0),
+            t.filter(F.abs(F.xxhash64("conv_id")) % 2 == 1),
+        ):
+            states = build_sketch_grouped(part, "conv_id", ["day", "role"], factory)
+            states.write.mode("append").partitionBy("day").parquet(out)
+        days = [r["day"] for r in t.select("day").distinct().collect()]
+        one_day = days[0]
+        sliced = spark.read.parquet(out).filter(F.col("day") == F.lit(one_day))
+        plan = sliced._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "day" in plan
+        merged = merge_grouped_states(sliced, ["day", "role"], factory)
+        got = {r["role"]: HllSketch.loads(bytes(r["state"])).result() for r in merged.collect()}
+        exact = {
+            r["role"]: r["n"]
+            for r in t.filter(F.col("day") == F.lit(one_day))
+            .groupBy("role")
+            .agg(F.countDistinct("conv_id").alias("n"))
+            .collect()
+        }
+        for role, n in exact.items():
+            assert got[role] == pytest.approx(n, rel=0.1, abs=3), role
