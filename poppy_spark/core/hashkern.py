@@ -75,12 +75,19 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     mat = np.zeros((n, width), dtype=U8)
     total = int(lens.sum())
     if total > 0:
-        # O(total_bytes) scatter: destination position of every source byte
         starts = offsets[:-1]
+        seg_contiguous = bool((offsets[1:] - starts == lens).all())
+        if lens.min() == maxlen and seg_contiguous:
+            # uniform-length fast path (ids, hashes, fixed-width keys):
+            # the scatter is a plain reshape copy
+            mat[:, :maxlen] = data[starts[0] : starts[0] + total].reshape(n, maxlen)
+            return mat, lens
+        # O(total_bytes) scatter: destination position of every source byte.
+        # (At the 16k Arrow batch size np.repeat over the length vector is
+        # cheaper than any cumsum/bincount reformulation — measured both.)
         row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
         cum = np.concatenate([[0], np.cumsum(lens[:-1])])
         intra = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
-        seg_contiguous = bool((offsets[1:] - starts == lens).all())
         if seg_contiguous:
             src = data[starts[0] : starts[0] + total]
         else:  # nulls / slicing left gaps — gather explicitly

@@ -209,3 +209,27 @@ class TestIntKeyPath:
             fb.insert_batch(as_bytes)
             assert fi.dumps() == fb.dumps(), f"v{version} int/bytes mismatch"
             assert all(fi.contains_batch(keys))
+
+
+class TestPackArrowPaths:
+    def test_uniform_and_varied_paths_agree(self):
+        """The uniform-length reshape fast path and the general scatter
+        produce identical matrices for the same logical keys."""
+        import numpy as np
+        import pyarrow as pa
+
+        from poppy_spark.core import hashkern as hk
+
+        uni = [f"key-{i:06d}" for i in range(1000)]
+        arr_u = pa.array(uni)
+        mat_u, lens_u = hk.pack_arrow(arr_u)
+        mat_k, lens_k = hk.pack_keys([s.encode() for s in uni])
+        assert (lens_u == lens_k).all()
+        assert mat_u[:, :10].tobytes() == mat_k[:, :10].tobytes()
+        # a sliced uniform array (non-zero offset) also matches
+        sl = arr_u.slice(100, 500)
+        mat_s, lens_s = hk.pack_arrow(sl)
+        assert mat_s[:, :10].tobytes() == mat_k[100:600, :10].tobytes()
+        h_all = hk.hash_pop_batch(mat_u, lens_u)
+        h_sl = hk.hash_pop_batch(mat_s, lens_s)
+        assert (h_sl == h_all[100:600]).all()
