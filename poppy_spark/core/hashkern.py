@@ -282,26 +282,37 @@ def _wyhash_sorted(
     g = np.take_along_axis(mat, idx, axis=1)  # (n, 32) bytes, zero padded
     g64 = g[:, :32].copy().view("<u8")  # 4 aligned words of the tail
 
-    def _arm(msk: np.ndarray, upd: np.ndarray) -> None:
-        if msk.any():
-            h[msk] = upd[msk]
-
     r = rest_len
-    m1 = (r >= 1) & (r <= 8)
-    m2 = (r >= 9) & (r <= 16)
-    m3 = (r >= 17) & (r <= 24)
-    m4 = r >= 25
-    if m1.any() or m2.any() or m3.any() or m4.any():
+    any_tail = bool((r > 0).any())
+    if any_tail:
         # read_rest bytes start at rest_off + 8*((r-1)//8) for the active arm
         sub = np.where(r > 0, ((r - 1) // 8) * 8, 0)
         gidx = (rest_off + sub)[:, None] + np.arange(8, dtype=np.int64)[None, :]
         gr = np.take_along_axis(mat, gidx, axis=1)
         rr = _read_rest_batch(gr, np.maximum(r - sub, 0))
         w0, w1, w2 = g64[:, 0], g64[:, 1], g64[:, 2]
-        _arm(m1, mum(h ^ p0, rr ^ p1))
-        _arm(m2, mum(h ^ p0, mum(w0 ^ p1, rr ^ p2)))
-        _arm(m3, mum(h ^ p0, mum(w0 ^ p1, w1 ^ p2) ^ mum(rr ^ p3, np.broadcast_to(p4, h.shape))))
-        _arm(m4, mum(h ^ p0, mum(w0 ^ p1, w1 ^ p2) ^ mum(w2 ^ p3, rr ^ p4)))
+        # each row belongs to exactly one arm: compact to the arm's row set
+        # and run the mum chain on the subset (the masked formulation paid
+        # for every arm's full-width chain on every row — ~4x the tail work)
+        s1 = np.flatnonzero((r >= 1) & (r <= 8))
+        s2 = np.flatnonzero((r >= 9) & (r <= 16))
+        s3 = np.flatnonzero((r >= 17) & (r <= 24))
+        s4 = np.flatnonzero(r >= 25)
+        if s1.size:
+            h[s1] = mum(h[s1] ^ p0, rr[s1] ^ p1)
+        if s2.size:
+            h[s2] = mum(h[s2] ^ p0, mum(w0[s2] ^ p1, rr[s2] ^ p2))
+        if s3.size:
+            h[s3] = mum(
+                h[s3] ^ p0,
+                mum(w0[s3] ^ p1, w1[s3] ^ p2)
+                ^ mum(rr[s3] ^ p3, np.full(s3.size, p4, dtype=U64)),
+            )
+        if s4.size:
+            h[s4] = mum(
+                h[s4] ^ p0,
+                mum(w0[s4] ^ p1, w1[s4] ^ p2) ^ mum(w2[s4] ^ p3, rr[s4] ^ p4),
+            )
     return mum(h, lens.astype(U64) ^ p5)
 
 
