@@ -339,3 +339,47 @@ class TestSaturation:
         a.words.fill((1 << 64) - 1)  # force saturation
         a.update_count()
         assert a.count_estimate() == (1 << 64) - 1
+
+
+class TestFprKeyTypeMatrix:
+    """Mirror of the reference's synthetic key-type FPR matrix
+    (``poppy/src/bloom/v2.rs:839-1009``): random u8..u128-style widths and
+    md5/sha1/sha256-like digests, empirical FPR within fpp*(1+0.2)."""
+
+    FPP = 0.01
+    TOL = 0.2
+    N = 20000
+
+    def _keys(self, kind):
+        import hashlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        if kind.startswith("u"):
+            width = int(kind[1:]) // 8
+            vals = rng.integers(0, 2**63 - 1, size=2 * self.N, dtype=np.int64)
+            out = []
+            seen = set()
+            for v in vals:
+                b = int(v).to_bytes(8, "little")[:width].ljust(width, b"\0") if width <= 8 else (
+                    int(v).to_bytes(8, "little") + int(v ^ 0xDEADBEEF).to_bytes(8, "little")
+                )
+                if b not in seen:
+                    seen.add(b)
+                    out.append(b)
+            return out[: 2 * self.N - 100]
+        digest = {"md5": hashlib.md5, "sha1": hashlib.sha1, "sha256": hashlib.sha256}[kind]
+        return [digest(f"key-{i}".encode()).digest() for i in range(2 * self.N)]
+
+    @pytest.mark.parametrize("kind", ["u32", "u64", "u128", "md5", "sha1", "sha256"])
+    def test_fpr_within_reference_tolerance(self, kind):
+        keys = self._keys(kind)
+        half = len(keys) // 2
+        members, probes = keys[:half], keys[half:]
+        b = BloomFilter.with_capacity(half, self.FPP)
+        b.insert_batch(members)
+        assert bool(b.contains_batch(members).all()), "zero FN violated"
+        hits = b.contains_batch(probes)
+        fpr = float(hits.sum()) / len(probes)
+        assert fpr <= self.FPP * (1 + self.TOL), (kind, fpr)
