@@ -17,6 +17,7 @@ from .probe import (
     bloom_contains_grouped_join,
     bloom_contains_udf,
     bloom_semi_join,
+    register_bloom_sql,
 )
 from .session import get_spark
 from .sharded import ShardedBloom, build_sharded_bloom
@@ -32,6 +33,7 @@ __all__ = [
     "bloom_contains_grouped_join",
     "bloom_contains_udf",
     "bloom_semi_join",
+    "register_bloom_sql",
     "build_sharded_bloom",
     "build_sketch",
     "build_sketch_df",

@@ -123,6 +123,21 @@ def bloom_contains(
     return df.withColumn(output_col, udf(_as_key(df, col, int_keys)))
 
 
+def register_bloom_sql(
+    spark: SparkSession, name: str, filt: BloomFilter | bytes
+) -> None:
+    """Register the membership probe as a SQL function, so the filter is
+    usable from pure SQL::
+
+        register_bloom_sql(spark, "seen_text", bloom.dumps())
+        spark.sql("SELECT * FROM turns WHERE seen_text(text)")
+
+    The function is the same broadcast + Arrow-vectorized UDF as
+    :func:`bloom_contains`; callers cast non-string keys in the SQL.
+    """
+    spark.udf.register(name, bloom_contains_udf(spark, filt))
+
+
 def bloom_semi_join(df: DataFrame, col: str, filt: BloomFilter | bytes) -> DataFrame:
     """Keep rows whose key is (probably) in the filter — approximate
     LEFT SEMI JOIN with zero false negatives (``check`` without --verify)."""

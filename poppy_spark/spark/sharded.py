@@ -443,6 +443,45 @@ class ShardedBloom:
         ).json(os.path.join(directory, "meta"))
 
     @classmethod
+    def from_poppy_bytes(
+        cls,
+        spark: SparkSession,
+        raw: bytes,
+        n_shards: int | None = None,
+        target_shard_bytes: int = 64 << 20,
+    ) -> "ShardedBloom":
+        """Import an existing single-file poppy v2 filter (e.g. built by the
+        Rust CLI) into the sharded representation — the migration path from
+        the reference tooling.  Driver-side slicing: the input file must fit
+        the driver once (it already does — it arrived as ``bytes``); from
+        there on it lives as distributed shard rows.  OptLevel NONE only
+        (the index cache does not decompose)."""
+        from poppy_spark.core.v2 import BloomV2
+        from poppy_spark.core.params import OptLevel
+        from poppy_spark.spark.agg import compress_blob
+
+        filt = BloomV2.loads(raw)
+        if filt.opt != OptLevel.NONE:
+            raise ValueError("only OptLevel NONE filters are shardable")
+        total_bytes = filt.n_buckets * BUCKET_SIZE
+        if n_shards is None:
+            n_shards = max(1, math.ceil(total_bytes / target_shard_bytes))
+        p = _Params.make(filt.capacity, filt.fpp, n_shards)
+        if (p.n_buckets, p.n_hash_buck) != (filt.n_buckets, filt.n_hash_buck):
+            raise ValueError(
+                "filter params do not match NONE-level sizing; cannot shard"
+            )
+        rows = []
+        for s in range(p.n_shards):
+            lo = s * p.bps * BUCKET_SIZE
+            hi = min((s + 1) * p.bps, p.n_buckets) * BUCKET_SIZE
+            blob = filt.buckets[lo:hi]
+            if blob.any():  # untouched shards stay implicit
+                rows.append((s, compress_blob(blob.tobytes()), 0))
+        states = spark.createDataFrame(rows or [], _STATE_SCHEMA)
+        return cls(p, states)
+
+    @classmethod
     def load(cls, spark: SparkSession, directory: str) -> "ShardedBloom":
         meta_raw = spark.read.json(os.path.join(directory, "meta")).collect()[0]["meta"]
         m = json.loads(meta_raw)

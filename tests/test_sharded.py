@@ -175,3 +175,24 @@ class TestCarryColumnsProbe:
     def test_columns_probe_salted(self, spark, keys_df, sharded):
         c = sharded.contains(keys_df, "k", "hit", carry="columns", salt=3)
         assert c.filter("NOT hit").count() == 0
+
+
+class TestImportFromPoppyBytes:
+    def test_roundtrip_and_probe(self, spark, keys_df):
+        """A single-file filter (as the Rust CLI would produce) imports into
+        shard rows, probes with zero FN, and re-exports byte-identically."""
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+
+        single = build_sketch(keys_df, "k", BloomSketch.factory(30000, 0.001))
+        raw = single.dumps()
+        sb = ShardedBloom.from_poppy_bytes(spark, raw, n_shards=5)
+        assert sb.to_poppy_bytes() == raw
+        assert sb.contains(keys_df, "k", "hit").filter("NOT hit").count() == 0
+
+    def test_rejects_optlevel(self, spark):
+        from poppy_spark.core import BloomFilter, OptLevel
+
+        f = BloomFilter.with_params(2, 1000, 0.01, OptLevel.SPEED)
+        with pytest.raises(ValueError):
+            ShardedBloom.from_poppy_bytes(spark, f.dumps())

@@ -331,3 +331,24 @@ class TestGroupedJoinProbe:
         probed = bloom_contains_grouped_join(alien, "k", "g", states, "hit")
         assert probed.filter("hit").count() == 0
         assert probed.count() == 1000
+
+
+class TestSqlRegistration:
+    def test_bloom_probe_from_pure_sql(self, spark, orders):
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+        from poppy_spark.spark.probe import register_bloom_sql
+
+        n = orders.count()
+        sk = build_sketch(orders, "o_orderkey", BloomSketch.factory(n, 0.001))
+        register_bloom_sql(spark, "seen_order", sk.dumps())
+        orders.createOrReplaceTempView("orders_v")
+        hit = spark.sql(
+            "SELECT COUNT(*) AS n FROM orders_v WHERE seen_order(CAST(o_orderkey AS STRING))"
+        ).collect()[0]["n"]
+        assert hit == n
+        miss = spark.sql(
+            "SELECT COUNT(*) AS n FROM orders_v "
+            "WHERE seen_order(CONCAT('nope-', CAST(o_orderkey AS STRING)))"
+        ).collect()[0]["n"]
+        assert miss <= n * 0.002 * 2
