@@ -28,7 +28,11 @@ from datetime import datetime, timezone
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PAIRS = [(2, 8), (8, 32)]
-PARTITIONS = 64  # pinned across all runs so the task graph is identical
+PARTITIONS = 64  # files in the generated dataset
+#: pin scan partitioning via file splits (core-count independent) instead of
+#: an in-measurement repartition — the round-robin shuffle of the raw text
+#: was costing 3x the build itself at 32 cores (0.37 vs 1.11 M turns/s)
+MAX_PARTITION_BYTES = "4m"
 REPS = 3
 
 
@@ -54,7 +58,8 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
     from poppy_spark.spark.session import get_spark
 
     spark = get_spark(f"poppy-scaling-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=cores)
+                      shuffle_partitions=cores,
+                      max_partition_bytes=MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
     # read straight from parquet each pass: the OS page cache holds the
     # bytes, and Spark's columnar cache adds an expensive cold first pass
@@ -74,7 +79,7 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
 
     from poppy_spark.spark.sharded import build_sharded_bloom
 
-    state = build_sketch(df, "text", bloom_factory, repartition=PARTITIONS).dumps()
+    state = build_sketch(df, "text", bloom_factory).dumps()
 
     def sharded_build():
         sb = build_sharded_bloom(
@@ -84,13 +89,13 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
 
     out = {
         "cores": cores,
-        "bloom_sec": round(best(lambda: build_sketch(df, "text", bloom_factory, repartition=PARTITIONS)), 3),
+        "bloom_sec": round(best(lambda: build_sketch(df, "text", bloom_factory)), 3),
         "sharded_sec": round(best(sharded_build), 3),
         "probe_sec": round(best(
             lambda: bloom_contains(df, "text", state, "hit")
             .agg(F.sum(F.col("hit").cast("long"))).collect()
         ), 3),
-        "hll_sec": round(best(lambda: build_sketch(df, "conv_id", hll_factory, repartition=PARTITIONS)), 3),
+        "hll_sec": round(best(lambda: build_sketch(df, "conv_id", hll_factory)), 3),
     }
     for job in ("bloom", "sharded", "probe", "hll"):
         out[f"{job}_M_turns_per_sec"] = round(n_rows / out[f"{job}_sec"] / 1e6, 3)
@@ -109,8 +114,8 @@ def main() -> None:
     lines = [
         f"\n## Scaling run {datetime.now(timezone.utc).isoformat(timespec='seconds')}",
         "",
-        f"Identical jobs over {n_rows:,} transcript turns, {PARTITIONS} pinned "
-        f"partitions, best of {REPS} runs per level.",
+        f"Identical jobs over {n_rows:,} transcript turns, file-split-pinned "
+        f"scan partitions (maxPartitionBytes={MAX_PARTITION_BYTES}), best of {REPS} runs per level.",
         "",
         "| cores | bloom s | sharded s | probe s | hll s | bloom M/s | sharded M/s | probe M/s | hll M/s |",
         "|---|---|---|---|---|---|---|---|---|",

@@ -23,6 +23,7 @@ def get_spark(
     app_name: str = "poppy-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
 ) -> SparkSession:
     # must land in os.environ before the JVM gateway launches so forked
     # Python workers inherit it
@@ -31,8 +32,12 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = SparkSession.builder
+    if max_partition_bytes:
+        # pin scan partitioning to file-split sizes (core-count independent)
+        builder = builder.config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     return (
-        SparkSession.builder.appName(app_name)
+        builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
