@@ -334,6 +334,17 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + stopword-vote language id per document — both pure
+    JVM expressions, replicated exactly in the DuckDB oracle (same ratios,
+    same tie-break: max score then lexicographically-max language)."""
+    from poppy_spark.spark.text import detect_language, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = detect_language(quality_score(docs, "text"), "text")
+    return out.select("doc_id", F.col("quality"), F.col("lang_guess"))
+
+
 def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate recall on exact duplicates: duplicate every document
     under a shifted id; every (i, i+offset) pair must be an LSH candidate
@@ -746,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "token_stats": q_token_stats,
         "text_ratios": q_text_ratios,
+        "text_quality_lang": q_text_quality_lang,
         "lsh_dedup_recall": q_lsh_dedup_recall,
         "simhash_duplicates": q_simhash_duplicates,
         "cosine_top1": q_cosine_top1,
@@ -812,6 +824,37 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces "
             "FROM documents"
         ),
+        "text_quality_lang": """WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS words,
+         length(text) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words) AS n_tokens,
+         CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS punct_ratio,
+         CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS digit_ratio,
+         CAST(len(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are','this','not','you'], x))) AS DOUBLE)
+           / GREATEST(len(words), 1) AS stop_ratio,
+         len(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are','this','not','you'], x))) AS s_en,
+         len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','un','une','est','que','pour','dans','qui','pas','avec'], x))) AS s_fr,
+         len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','von','dem','den','sich'], x))) AS s_de,
+         len(list_filter(words, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','del'], x))) AS s_es
+  FROM w
+)
+SELECT doc_id,
+       CAST((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END)
+     * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END)
+     * (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+     * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE) AS quality,
+       CASE WHEN GREATEST(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+            WHEN s_fr = GREATEST(s_en, s_fr, s_de, s_es) THEN 'fr'
+            WHEN s_es = GREATEST(s_en, s_fr, s_de, s_es) THEN 'es'
+            WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es) THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM s""",
         "lsh_dedup_recall": (
             "SELECT COUNT(*) AS n_docs, 0 AS n_missed FROM documents"
         ),
