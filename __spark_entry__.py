@@ -345,6 +345,38 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("quality"), F.col("lang_guess"))
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint gates: reordering a document's
+    tokens must not change its fingerprint, and distinct fingerprints must
+    match the exact distinct token-set count (collision-freeness on this
+    corpus — deterministic, so hash-stable)."""
+    from poppy_spark.spark.text import doc_fingerprint
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    fp_a = doc_fingerprint(docs, "text").select("doc_id", F.col("fingerprint").alias("fa"))
+    reordered = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.reverse(F.split(F.lower(F.col("text")), r"\s+"))).alias("text"),
+    )
+    fp_b = doc_fingerprint(reordered, "text").select("doc_id", F.col("fingerprint").alias("fb"))
+    joined = fp_a.join(fp_b, "doc_id")
+    n_mismatch = joined.filter(F.col("fa") != F.col("fb")).count()
+    n_fp = fp_a.select("fa").distinct().count()
+    n_sets = (
+        docs.select(
+            F.sort_array(
+                F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+            ).alias("ts")
+        )
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [(docs.count(), n_mismatch, n_fp == n_sets)],
+        "n_docs bigint, n_mismatch bigint, fp_distinct_matches_sets boolean",
+    )
+
+
 def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate recall on exact duplicates: duplicate every document
     under a shifted id; every (i, i+offset) pair must be an LSH candidate
@@ -757,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "token_stats": q_token_stats,
         "text_ratios": q_text_ratios,
+        "doc_fingerprint": q_doc_fingerprint,
         "text_quality_lang": q_text_quality_lang,
         "lsh_dedup_recall": q_lsh_dedup_recall,
         "simhash_duplicates": q_simhash_duplicates,
@@ -823,6 +856,10 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, "
             "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces "
             "FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT COUNT(*) AS n_docs, 0 AS n_mismatch, "
+            "TRUE AS fp_distinct_matches_sets FROM documents"
         ),
         "text_quality_lang": """WITH w AS (
   SELECT doc_id, text,
