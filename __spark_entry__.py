@@ -345,6 +345,16 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("quality"), F.col("lang_guess"))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored word-piece counts — the lookaround splitter is
+    equivalent to counting maximal [A-Za-z_]+ / [0-9]+ / single-punct runs,
+    which IS expressible in DuckDB's RE2 (lookarounds are not)."""
+    from poppy_spark.spark.text import bpe_ish_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_pieces"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint gates: reordering a document's
     tokens must not change its fingerprint, and distinct fingerprints must
@@ -789,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "token_stats": q_token_stats,
         "text_ratios": q_text_ratios,
+        "bpe_tokens": q_bpe_tokens,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality_lang": q_text_quality_lang,
         "lsh_dedup_recall": q_lsh_dedup_recall,
@@ -856,6 +867,10 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, "
             "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces "
             "FROM documents"
+        ),
+        "bpe_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z_]+|[0-9]+|[^\\w\\s]')) AS BIGINT) AS n_pieces FROM documents"
         ),
         "doc_fingerprint": (
             "SELECT COUNT(*) AS n_docs, 0 AS n_mismatch, "
