@@ -20,11 +20,12 @@ from .probe import (
     register_bloom_sql,
 )
 from .session import get_spark
-from .sharded import ShardedBloom, build_sharded_bloom
+from .sharded import ShardedBloom, ShardedBloomStream, build_sharded_bloom
 from .streaming import StreamingSketch, merge_grouped_states
 
 __all__ = [
     "ShardedBloom",
+    "ShardedBloomStream",
     "SketchCheckpoint",
     "StreamingSketch",
     "bloom_anti_join",

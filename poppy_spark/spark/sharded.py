@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from poppy_spark.core.params import MergeError, cap_from_bit_size, k as k_fn
 from poppy_spark.core.statekern import BUCKET_BITS, BUCKET_SIZE
 
-__all__ = ["ShardedBloom", "build_sharded_bloom"]
+__all__ = ["ShardedBloom", "ShardedBloomStream", "build_sharded_bloom"]
 
 _STATE_SCHEMA = "shard_id int, state binary, n_rows bigint"
 
@@ -490,6 +490,99 @@ class ShardedBloom:
             m["n_shards"], m["bps"],
         )
         return cls(p, spark.read.parquet(os.path.join(directory, "shards")))
+
+
+def _or_merge_states(states: DataFrame) -> DataFrame:
+    """Collapse duplicate shard rows (appended deltas) by bitwise OR."""
+    from poppy_spark.spark.agg import compress_blob, decompress_blob
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for raw in pdf["state"]:
+            v = np.frombuffer(decompress_blob(raw), dtype=np.uint8)
+            acc = v.copy() if acc is None else np.bitwise_or(acc, v, out=acc)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "state": [compress_blob(acc.tobytes())],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    return states.groupBy("shard_id").applyInPandas(combine, _STATE_SCHEMA)
+
+
+class ShardedBloomStream:
+    """Structured-Streaming sink for a sharded filter: each micro-batch
+    appends its shard DELTAS (only touched shards, lz4) to a parquet table;
+    readers OR-merge duplicate shard rows on load.  This is the incremental
+    shape for a continuously-growing 10^12-key membership filter — no batch
+    ever rewrites existing state, and compaction is an idempotent
+    read-merge-overwrite.
+
+    Use as ``foreachBatch``::
+
+        sink = ShardedBloomStream("/data/turns_bloom", capacity=10**12)
+        q = stream.writeStream.foreachBatch(sink).start()
+        ...
+        filt = sink.current(spark)   # a ShardedBloom over the merged states
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        capacity: int,
+        fpp: float = 0.001,
+        n_shards: int | None = None,
+        target_shard_bytes: int = 64 << 20,
+        col: str = "value",
+    ):
+        total_buckets = math.ceil(capacity / cap_from_bit_size(BUCKET_BITS, fpp))
+        if n_shards is None:
+            n_shards = max(1, math.ceil(total_buckets * BUCKET_SIZE / target_shard_bytes))
+        self.params = _Params.make(capacity, fpp, n_shards)
+        self.dir = directory
+        self.col = col
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "params.json"), "w") as f:
+            json.dump(
+                {
+                    "capacity": self.params.capacity,
+                    "fpp": self.params.fpp,
+                    "n_shards": self.params.n_shards,
+                },
+                f,
+            )
+
+    @property
+    def _shards_path(self) -> str:
+        return os.path.join(self.dir, "shards")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = build_sharded_bloom(
+            batch_df,
+            self.col,
+            self.params.capacity,
+            self.params.fpp,
+            n_shards=self.params.n_shards,
+            persist=False,
+        )
+        delta.states.write.mode("append").parquet(self._shards_path)
+
+    def current(self, spark: SparkSession) -> ShardedBloom:
+        """The merged filter over everything appended so far."""
+        states = _or_merge_states(spark.read.parquet(self._shards_path))
+        return ShardedBloom(self.params, states)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite appended deltas as one row per shard (idempotent)."""
+        merged = _or_merge_states(spark.read.parquet(self._shards_path))
+        tmp = self._shards_path + ".compact"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self._shards_path)
 
 
 def build_sharded_bloom(

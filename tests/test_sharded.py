@@ -196,3 +196,51 @@ class TestImportFromPoppyBytes:
         f = BloomFilter.with_params(2, 1000, 0.01, OptLevel.SPEED)
         with pytest.raises(ValueError):
             ShardedBloom.from_poppy_bytes(spark, f.dumps())
+
+
+class TestShardedStream:
+    def test_microbatch_deltas_equal_batch_build(self, spark, tmp_path):
+        """Folding 4 micro-batches through ShardedBloomStream yields the
+        same poppy bytes as one batch build; compaction is idempotent."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sharded import ShardedBloomStream
+
+        full = spark.range(0, 12000).select(F.format_string("st-%06d", "id").alias("value"))
+        sink = ShardedBloomStream(str(tmp_path / "sbstream"), capacity=12000, fpp=0.001, n_shards=4)
+        for b in range(4):
+            sink(full.filter(F.col("value").substr(4, 10).cast("long") % 4 == b), b)
+        merged = sink.current(spark)
+        single = build_sharded_bloom(full, "value", 12000, 0.001, n_shards=4)
+        assert merged.to_poppy_bytes() == single.to_poppy_bytes()
+        # deltas were appended, not rewritten
+        raw_rows = spark.read.parquet(str(tmp_path / "sbstream" / "shards")).count()
+        assert raw_rows > merged.states.count()
+        sink.compact(spark)
+        compacted = spark.read.parquet(str(tmp_path / "sbstream" / "shards"))
+        assert compacted.count() <= 4
+        assert sink.current(spark).to_poppy_bytes() == single.to_poppy_bytes()
+
+    def test_real_stream_foreachbatch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sharded import ShardedBloomStream
+
+        sink = ShardedBloomStream(str(tmp_path / "sbrt"), capacity=5000, fpp=0.001, n_shards=2)
+        stream = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 400)
+            .option("numPartitions", 4)
+            .load()
+            .select(F.format_string("rt-%06d", F.col("value")).alias("value"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "sbrt-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        filt = sink.current(spark)
+        probes = spark.createDataFrame([(f"rt-{i:06d}",) for i in range(400)], "value string")
+        assert filt.contains(probes, "value", "hit").filter("NOT hit").count() == 0
