@@ -223,8 +223,29 @@ def exact_ngram_jaccard(
     """(id_a, id_b, jaccard) — exact shingle-set Jaccard for candidate pairs
     (the verify stage after LSH).  Operates on 64-bit shingle hashes, so the
     common-shingle join ships 8 bytes per shingle instead of the string;
-    collisions at 2^64 are negligible."""
-    sh = shingle_hashes(df, text_col, id_col, k).distinct()
+    collisions at 2^64 are negligible.
+
+    Shingles are computed ONLY for documents that appear in some candidate
+    pair (a semi-join against the pair ids): at corpus scale candidates are
+    a vanishing fraction of documents, so verify cost tracks the candidate
+    set, not the corpus.  Candidate pairs sharing no shingle are omitted
+    (their Jaccard is 0, so they cannot pass any positive threshold), which
+    keeps the plan's references to ``pairs`` minimal — callers reusing the
+    same ``pairs`` DataFrame should persist it (``near_duplicate_pairs``
+    does)."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # shingles only for docs that appear in some candidate pair: verify cost
+    # tracks the candidate set, not the corpus
+    cdf = df.join(
+        cand_ids.withColumnRenamed("id", id_col) if id_col != "id" else cand_ids,
+        id_col,
+        "left_semi",
+    )
+    sh = shingle_hashes(cdf, text_col, id_col, k).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # count common shingles per pair via join on shingle hash
     a = sh.select(F.col("id").alias("id_a"), "sh")
@@ -235,9 +256,7 @@ def exact_ngram_jaccard(
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
-        pairs.join(common, ["id_a", "id_b"], "left")
-        .na.fill({"n_common": 0})
-        .join(na, "id_a")
+        common.join(na, "id_a")
         .join(nb, "id_b")
         .select(
             "id_a",
@@ -265,7 +284,10 @@ def near_duplicate_pairs(
     ``threshold``.  Zero false negatives among exact duplicates (identical
     texts share every band bucket), up to the ``max_bucket_size`` skew cap."""
     sigs = minhash_signatures(df, text_col, id_col, n_perms, k)
-    cands = lsh_candidate_pairs(sigs, bands, n_perms // bands, max_bucket_size)
+    # persist candidates: the verify stage references them from two sides
+    # (pair ids + the common-shingle join) and recomputing the signature +
+    # LSH subtree per reference would dominate the pipeline
+    cands = lsh_candidate_pairs(sigs, bands, n_perms // bands, max_bucket_size).persist()
     verified = exact_ngram_jaccard(df, text_col, id_col, cands, k)
     return verified.filter(F.col("jaccard") >= threshold)
 
