@@ -171,3 +171,26 @@ def test_bulk_insert_sets_same_bits(keys):
         b.update_count()
         a.update_count()
         assert a.dumps() == b.dumps()
+
+
+@SET
+@given(keys=st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=100))
+def test_sharded_routing_equals_core_route(keys):
+    """The sharded build/probe router computes exactly the (bucket, k index)
+    tuples BloomV2's own _route does — the invariant that makes shard
+    reassembly byte-identical."""
+    import pyarrow as pa
+
+    from poppy_spark.core.v2 import BloomV2
+    from poppy_spark.spark.sharded import _Params, _route_batch
+
+    cap = 4 * len(keys) + 50000  # enough buckets to make sharding meaningful
+    f = BloomV2.with_capacity(cap, 0.001)
+    p = _Params.make(cap, 0.001, 4)
+    assert (p.n_buckets, p.n_hash_buck) == (f.n_buckets, f.n_hash_buck)
+    mat, lens = hk.pack_keys(keys)
+    ib_core, idx_core, _ = f._route(mat, lens)
+    shard, ib, idx, _ = _route_batch(pa.array(keys, type=pa.binary()), p, dedup=False)
+    assert (ib == ib_core.astype("int64")).all()
+    assert (idx.astype("uint64") == idx_core).all()
+    assert (shard == (ib // p.bps).astype("int32")).all()
