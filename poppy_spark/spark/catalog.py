@@ -23,9 +23,15 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+#: formats handled by Spark's native readers, addressable as ``fmt://path``
+_NATIVE_FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
+
+
 def load_table(spark: SparkSession, uri: str) -> DataFrame:
-    """Load ``iceberg://catalog.db.table``, ``parquet:///path`` or a bare
-    path (treated as parquet)."""
+    """Load ``iceberg://catalog.db.table``, any ``fmt:///path`` for Spark's
+    native formats (parquet / orc / json / csv / text / avro), or a bare
+    path (treated as parquet).  Line-delimited ``text://`` inputs mirror the
+    reference CLI's one-entry-per-line shape (column ``value``)."""
     if uri.startswith("iceberg://"):
         ident = uri[len("iceberg://") :]
         if not iceberg_available(spark):
@@ -35,8 +41,14 @@ def load_table(spark: SparkSession, uri: str) -> DataFrame:
                 "or use a parquet:// uri"
             )
         return spark.read.format("iceberg").load(ident)
-    if uri.startswith("parquet://"):
-        uri = uri[len("parquet://") :]
+    for fmt in _NATIVE_FORMATS:
+        prefix = fmt + "://"
+        if uri.startswith(prefix):
+            path = uri[len(prefix) :]
+            reader = spark.read
+            if fmt == "csv":
+                reader = reader.option("header", "true").option("inferSchema", "true")
+            return reader.format(fmt).load(path)
     return spark.read.parquet(uri)
 
 
@@ -47,6 +59,12 @@ def write_table(df: DataFrame, uri: str, mode: str = "append") -> None:
             raise RuntimeError("no Iceberg runtime on the classpath")
         df.writeTo(ident).append() if mode == "append" else df.writeTo(ident).createOrReplace()
         return
-    if uri.startswith("parquet://"):
-        uri = uri[len("parquet://") :]
+    for fmt in _NATIVE_FORMATS:
+        prefix = fmt + "://"
+        if uri.startswith(prefix):
+            writer = df.write.mode(mode)
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            writer.format(fmt).save(uri[len(prefix) :])
+            return
     df.write.mode(mode).parquet(uri)

@@ -352,3 +352,30 @@ class TestSqlRegistration:
             "WHERE seen_order(CONCAT('nope-', CAST(o_orderkey AS STRING)))"
         ).collect()[0]["n"]
         assert miss <= n * 0.002 * 2
+
+
+class TestCatalogFormats:
+    def test_native_format_roundtrips(self, spark, tmp_path):
+        """Every fmt:// URI the seam claims roundtrips a small table and
+        feeds a build; text:// mirrors the reference CLI's line shape."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+        from poppy_spark.spark.catalog import load_table, write_table
+
+        df = spark.range(0, 300).select(
+            F.col("id"), F.format_string("cat-%05d", "id").alias("k")
+        )
+        for fmt in ("parquet", "orc", "json", "csv"):
+            uri = f"{fmt}://{tmp_path}/t_{fmt}"
+            write_table(df, uri, mode="overwrite")
+            back = load_table(spark, uri)
+            assert back.count() == 300
+            assert set(back.columns) == {"id", "k"}
+        # text: one entry per line, column `value`
+        write_table(df.select(F.col("k").alias("value")), f"text://{tmp_path}/t_text", mode="overwrite")
+        lines = load_table(spark, f"text://{tmp_path}/t_text")
+        assert lines.columns == ["value"] and lines.count() == 300
+        sk = build_sketch(lines, "value", BloomSketch.factory(300, 0.01))
+        assert sk.filter.contains_bytes(b"cat-00042")
