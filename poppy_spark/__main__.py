@@ -130,6 +130,24 @@ def cmd_check(args) -> int:
 
 
 def cmd_show(args) -> int:
+    import os as _os
+
+    if _os.path.isdir(args.filter) and _os.path.isdir(_os.path.join(args.filter, "shards")):
+        # a ShardedBloom.save() directory: show shard layout via Spark
+        from pyspark.sql import SparkSession
+
+        from poppy_spark.spark.session import get_spark
+        from poppy_spark.spark.sharded import ShardedBloom
+
+        owned = SparkSession.getActiveSession() is None
+        spark = get_spark("poppy-cli-show", master="local[2]", shuffle_partitions=2)
+        spark.sparkContext.setLogLevel("ERROR")
+        sb = ShardedBloom.load(spark, args.filter)
+        for k, v in sb.info().items():
+            print(f"{k}: {v}")
+        if owned:
+            spark.stop()
+        return 0
     bf = load(args.filter, partial=True)
     for k, v in bf.info().items():
         print(f"{k}: {v}")

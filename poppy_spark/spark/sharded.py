@@ -394,6 +394,42 @@ class ShardedBloom:
     def n_rows(self) -> int:
         return int(self.states.agg(F.sum("n_rows")).collect()[0][0] or 0)
 
+    @property
+    def capacity(self) -> int:
+        return self.params.capacity
+
+    @property
+    def fpp(self) -> float:
+        return self.params.fpp
+
+    def estimated_p(self) -> float:
+        """Current estimated false-positive probability (poppy
+        ``estimated_p``: from the count estimate and total bit size)."""
+        from poppy_spark.core.params import estimate_p
+
+        return estimate_p(
+            max(self.count_estimate(), 1), self.params.n_buckets * BUCKET_BITS
+        )
+
+    def is_full(self) -> bool:
+        return self.count_estimate() >= self.params.capacity
+
+    def info(self) -> dict:
+        """Metadata summary, mirroring ``BloomFilter.info()`` plus shard
+        layout — the ``show`` verb for sharded filters."""
+        return {
+            "version": 2,
+            "capacity": self.params.capacity,
+            "fpp": self.params.fpp,
+            "n_buckets": self.params.n_buckets,
+            "n_hash_buck": self.params.n_hash_buck,
+            "n_shards": self.params.n_shards,
+            "buckets_per_shard": self.params.bps,
+            "shard_bytes": self.params.bps * BUCKET_SIZE,
+            "size_in_bytes": self.size_in_bytes(),
+            "n_touched_shards": self.states.count(),
+        }
+
     # --- export / persistence ------------------------------------------------------
     def size_in_bytes(self) -> int:
         """Uncompressed logical filter size (all shards)."""

@@ -244,3 +244,23 @@ class TestShardedStream:
         filt = sink.current(spark)
         probes = spark.createDataFrame([(f"rt-{i:06d}",) for i in range(400)], "value string")
         assert filt.contains(probes, "value", "hit").filter("NOT hit").count() == 0
+
+
+class TestShardedInfo:
+    def test_info_and_estimated_p(self, spark, sharded):
+        info = sharded.info()
+        assert info["capacity"] == 30000 and info["n_shards"] == 7
+        assert info["n_touched_shards"] <= info["n_shards"]
+        assert 0.0 < sharded.estimated_p() < 0.01
+        # filled to exactly its capacity -> full, like poppy's is_full
+        assert sharded.is_full()
+        assert sharded.capacity == 30000 and sharded.fpp == 0.001
+
+    def test_cli_show_on_saved_dir(self, spark, sharded, tmp_path, capsys):
+        from poppy_spark.__main__ import main
+
+        d = str(tmp_path / "showme")
+        sharded.save(d)
+        assert main(["show", d]) == 0
+        out = capsys.readouterr().out
+        assert "n_shards: 7" in out and "capacity: 30000" in out
