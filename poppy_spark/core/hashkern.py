@@ -278,8 +278,19 @@ def _wyhash_sorted(
     # tail: rest_len in 0..=31 at per-row offset 32*(len//32)
     rest_len = (lens % 32).astype(np.int64)
     rest_off = lens - rest_len
-    idx = rest_off[:, None] + np.arange(32, dtype=np.int64)[None, :]
-    g = np.take_along_axis(mat, idx, axis=1)  # (n, 32) bytes, zero padded
+    if sorted_by_len:
+        # longest-first rows group CONTIGUOUSLY by chunk count, so the
+        # (n, 32) tail read is a handful of plain slice copies instead of a
+        # take_along_axis gather (which was ~1/3 of the whole hash)
+        g = np.empty((n, 32), dtype=U8)
+        for nc in range(maxchunks + 1):
+            a = int(np.searchsorted(-lens, -(32 * (nc + 1)), side="right"))
+            b = int(np.searchsorted(-lens, -(32 * nc), side="right"))
+            if a < b:
+                g[a:b] = mat[a:b, 32 * nc : 32 * nc + 32]
+    else:
+        idx = rest_off[:, None] + np.arange(32, dtype=np.int64)[None, :]
+        g = np.take_along_axis(mat, idx, axis=1)  # (n, 32) bytes, zero padded
     g64 = g[:, :32].copy().view("<u8")  # 4 aligned words of the tail
 
     r = rest_len
