@@ -31,11 +31,12 @@ t = pq.read_table("%(data)s", columns=["text"])
 arr = t.column(0).combine_chunks().slice(0, 200000).cast(pa.string())
 b = BloomSketch.create(2700000, 0.001); f = b.filter._inner
 CH = 16384
-m, l = pack_arrow(arr.slice(0, CH)); f.insert_packed(m, l)  # warm
+# the production Spark update path: bulk OR-only insert
+m, l = pack_arrow(arr.slice(0, CH)); f.insert_packed_bulk(m, l)  # warm
 t0 = time.perf_counter()
 for off in range(0, len(arr), CH):
     m, l = pack_arrow(arr.slice(off, CH))
-    f.insert_packed(m, l)
+    f.insert_packed_bulk(m, l)
 print(f"{time.perf_counter()-t0:.3f}")
 """
 
