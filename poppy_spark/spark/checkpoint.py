@@ -1,5 +1,10 @@
 """Resumable sketch builds: per-partition state checkpointing with lineage.
 
+(For filters past one worker's memory, resumability comes from the sharded
+side instead: ``poppy_spark.spark.sharded.ShardedBloomStream`` appends
+per-micro-batch shard deltas and OR-merges on read — re-running a failed
+batch is idempotent, so no per-partition manifest is needed there.)
+
 The distributed build writes one serialized partial state per input
 partition plus a JSON manifest (partition id, row count, input fingerprint,
 timing).  A resumed build loads the manifest, recomputes ONLY missing or
