@@ -37,12 +37,23 @@ _LO32 = U64(0xFFFFFFFF)
 _32 = U64(32)
 
 
-def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+def pack_arrow(arr, int_mode: str = "le8") -> tuple[np.ndarray, np.ndarray]:
     """Pack a pyarrow String/Binary/LargeString array into the (matrix, lens)
     batch layout with no per-row Python.
 
     Reads the Arrow offsets+data buffers directly; nulls become empty keys
     (callers should filter nulls upstream when that matters).
+
+    ``int_mode`` controls integer columns (the Spark layer's ``int_keys``
+    maps onto it): ``"le8"`` packs fixed 8-byte LE slices (Rust
+    ``insert_bytes(&k.to_le_bytes())``); ``"typed"`` pre-hashes each value
+    through wyhash of its 8 LE bytes, matching Rust's typed-key blanket impl
+    ``insert(&k)`` (``poppy/src/hash.rs:43-50`` streams the native-endian
+    bytes through the full WyHasher — the <=8-byte identity shortcut applies
+    only to the ``&[u8]`` path); ``"raise"`` rejects integer input — used by
+    probe UDFs whose build side canonicalized keys to strings, so a
+    build/probe key-mode mismatch fails loudly instead of silently returning
+    all-False membership.
     """
     import pyarrow as pa
 
@@ -54,8 +65,16 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     elif pa.types.is_string(typ) or pa.types.is_binary(typ):
         odt = np.int32
     elif pa.types.is_integer(typ):
-        # poppy int-key semantics: fixed 8-byte LE (hash.rs:44-50)
+        if int_mode == "raise":
+            raise TypeError(
+                "integer key column reached a string-mode hash path: the "
+                "filter was built with int_keys='string' (decimal text) — "
+                "cast the probe column to string, or build AND probe with "
+                "int_keys='le8'/'typed' for Rust-compatible integer hashing"
+            )
         vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if int_mode == "typed":
+            return pack_int64_typed(vals)
         return pack_int64_le(vals)
     else:  # fall back for anything exotic
         return pack_keys(arr.to_pylist())
@@ -97,14 +116,16 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
 
 
 def pack_int64_le(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Pack 64-bit integers as fixed 8-byte little-endian keys.
+    """Pack 64-bit integers as fixed 8-byte little-endian *byte slices*.
 
-    This is poppy's typed-key semantics for integers (``poppy/src/hash.rs:
-    44-50``: the blanket impl hashes an int's LE bytes; being <= 8 bytes,
-    the v2 identity shortcut then makes ``hash_pop == the u64 value``, and
-    v1 runs FNV-1 over the 8 LE bytes).  Filters built this way are
-    byte-compatible with Rust-built filters over the same u64/i64 keys —
-    unlike the default Spark-layer cast-to-string canonicalization.
+    Matches Rust ``filter.insert_bytes(&k.to_le_bytes())`` — the ``&[u8]``
+    impl's <=8-byte identity shortcut (``poppy/src/hash.rs:52-63``) then
+    makes v2's ``hash_pop == the u64 value``, and v1 runs FNV-1 over the 8
+    LE bytes.  NOTE: this is NOT the typed-key blanket impl — Rust
+    ``insert(&k)`` for u64/i64 streams the bytes through the full WyHasher
+    (``poppy/src/bloom/v2.rs:77-84``); use :func:`pack_int64_typed` for
+    that.  Both are byte-compatible with their respective Rust surface;
+    neither matches the default Spark-layer cast-to-string canonicalization.
     """
     vals = np.asarray(vals)
     n = vals.shape[0]
@@ -113,6 +134,38 @@ def pack_int64_le(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if n:
         mat[:, :8] = vals.astype("<i8").view(U8).reshape(n, 8)
     return mat, lens
+
+
+def wyhash_u64le_batch(vals: np.ndarray) -> np.ndarray:
+    """wyhash of the 8 little-endian bytes of each 64-bit value.
+
+    This is what Rust's typed-key path computes for a ``u64``/``i64``:
+    ``PoppyHash::hash_pop`` -> ``Hash for u64`` -> ``Hasher::write_u64``
+    (default impl: one ``write`` of the native-endian bytes, LE on every
+    poppy target) -> the crate's streaming hasher, which for a single write
+    equals the one-shot wyhash — the path poppy's own golden vector
+    exercises (``poppy/src/hash/wyhash.rs:40-48``).  The 8-byte input takes
+    exactly the golden-anchored <=8 tail arm: ``mum(seed^P0, k^P1)`` then
+    ``mum(., 8^P5)`` (little-endian u64 read of the LE bytes == the value).
+    """
+    p0, p1, p5 = U64(WYHASH_P0), U64(WYHASH_P1), U64(WYHASH_P5)
+    v = np.asarray(vals).astype(np.int64).view(U64)
+    h = mum(np.broadcast_to(U64(POPPY_SEED) ^ p0, v.shape).copy(), v ^ p1)
+    return mum(h, U64(8) ^ p5)
+
+
+def pack_int64_typed(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack 64-bit integers with Rust *typed-key* semantics (``insert(&k)``).
+
+    Because poppy v2's ``h1`` is the LE-identity on any <=8-byte key, the
+    typed path reduces to a pure key transform: map ``k -> wyhash(le8(k))``
+    and pack THAT u64 as an 8-byte LE slice — every downstream stage (double
+    hashing, bucket routing, sharding, wire format) is then automatically
+    byte-compatible with a Rust filter built via typed ``insert``.  v2 only:
+    the reference exposes no typed insert for v1 (``poppy/src/bloom/v1.rs``
+    has only ``insert_bytes``).
+    """
+    return pack_int64_le(wyhash_u64le_batch(vals).view(np.int64))
 
 
 def pack_keys(keys) -> tuple[np.ndarray, np.ndarray]:

@@ -25,6 +25,13 @@ class Sketch(abc.ABC):
     #: short type tag written into the serialized header
     kind: str = ""
 
+    #: integer-key canonicalization mode for hash-compatible sketches
+    #: ("string" | "le8" | "typed"); set by the Spark aggregation layer so
+    #: build-side packing matches the probe-side ``int_keys`` argument.
+    #: Only consulted by sketches that hash raw key bytes (Bloom); states
+    #: never carry it (a merged state is mode-agnostic bytes).
+    int_keys: str = "string"
+
     @abc.abstractmethod
     def update_arrow(self, arr) -> None:
         """Absorb a ``pyarrow.Array`` column chunk (vectorized, no per-row
@@ -54,11 +61,18 @@ class Sketch(abc.ABC):
         Default: no-op."""
 
 
-def arrow_to_text_batch(arr) -> tuple[np.ndarray, np.ndarray]:
+#: Sketch.int_keys -> hashkern.pack_arrow int_mode.  In "string" mode the
+#: Spark layer already cast keys to text, so an integer column reaching the
+#: pack path means the caller bypassed canonicalization — fail loudly
+#: rather than hash bytes the build side never saw.
+_INT_MODE = {"string": "raise", "le8": "le8", "typed": "typed"}
+
+
+def arrow_to_text_batch(arr, int_keys: str = "string") -> tuple[np.ndarray, np.ndarray]:
     """Arrow string/binary column -> (packed byte matrix, lengths)."""
     from poppy_spark.core.hashkern import pack_arrow
 
-    return pack_arrow(arr)
+    return pack_arrow(arr, int_mode=_INT_MODE[int_keys])
 
 
 def arrow_to_hashes(arr, seed: int) -> np.ndarray:

@@ -45,19 +45,29 @@ class BloomSketch(Sketch):
 
         return make
 
+    def _check_int_mode(self) -> None:
+        if self.int_keys == "typed" and getattr(self.filter, "version", 2) == 1:
+            raise ValueError(
+                "int_keys='typed' is v2-only: the reference exposes no typed "
+                "insert for v1 (poppy/src/bloom/v1.rs has only insert_bytes) "
+                "— use int_keys='le8' for v1 integer keys"
+            )
+
     def update_arrow(self, arr) -> None:
         # Spark partial-build path: OR-only bulk insert — the per-key newness
         # hash pass that insert_packed pays for is discarded at merge time
         # anyway (finalize_merge re-estimates count from bucket popcounts,
         # poppy union_merge semantics).  update_keys stays exact/sequential.
-        mat, lens = arrow_to_text_batch(arr)
+        self._check_int_mode()
+        mat, lens = arrow_to_text_batch(arr, self.int_keys)
         self.filter.insert_packed_bulk(mat, lens)
 
     def update_keys(self, keys) -> None:
         self.filter.insert_batch(keys)
 
     def contains_arrow(self, arr) -> np.ndarray:
-        mat, lens = arrow_to_text_batch(arr)
+        self._check_int_mode()
+        mat, lens = arrow_to_text_batch(arr, self.int_keys)
         return self.filter.contains_packed(mat, lens)
 
     def merge(self, other: "BloomSketch") -> None:

@@ -102,11 +102,17 @@ def _z_loads(cls: type, raw: bytes) -> Sketch:
     return cls.loads(decompress_blob(raw))
 
 
-def _update_fn(factory: Callable[[], Sketch], col_idx: int = 0, compress: bool = True):
+def _update_fn(
+    factory: Callable[[], Sketch],
+    col_idx: int = 0,
+    compress: bool = True,
+    int_keys: str = "string",
+):
     def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         sk = factory()
+        sk.int_keys = int_keys
         n = 0
         for batch in batches:
             sk.update_arrow(batch.column(col_idx))
@@ -166,9 +172,12 @@ def _as_key(df: DataFrame, col: str | Column, int_keys: str = "string") -> Colum
     ``int_keys="string"`` (default): integer columns hash as their decimal
     string — simple, but NOT byte-compatible with a Rust-built filter over
     the same numeric keys.  ``int_keys="le8"``: integers pass through as
-    bigint and hash as fixed 8-byte little-endian values, matching poppy's
-    typed-key blanket impl (``poppy/src/hash.rs:44-50``).  Build and probe
-    must use the same mode or membership breaks.
+    bigint and hash as fixed 8-byte little-endian byte slices, matching Rust
+    ``insert_bytes(&k.to_le_bytes())`` (``poppy/src/hash.rs:52-63``).
+    ``int_keys="typed"``: integers hash through the full wyhash of their LE
+    bytes, matching Rust's typed-key blanket impl ``insert(&k)``
+    (``poppy/src/hash.rs:43-50`` + ``v2.rs:77-84``; v2 only).  Build and
+    probe must use the same mode or membership breaks.
     """
     c = F.col(col) if isinstance(col, str) else col
     try:
@@ -177,10 +186,12 @@ def _as_key(df: DataFrame, col: str | Column, int_keys: str = "string") -> Colum
         dt = ""
     if dt in _TEXTUAL:
         return c
-    if int_keys == "le8":
+    if int_keys in ("le8", "typed"):
         if dt in _INTEGRAL:
             return c.cast("bigint")
-        raise TypeError(f"int_keys='le8' requires an integral column, got {dt or '?'}")
+        raise TypeError(
+            f"int_keys='{int_keys}' requires an integral column, got {dt or '?'}"
+        )
     return c.cast("string")
 
 
@@ -229,7 +240,7 @@ def build_sketch_df(
     if repartition and repartition != n_parts:
         sdf = sdf.repartition(repartition)
         n_parts = repartition
-    states = sdf.mapInArrow(_update_fn(factory), _STATES_SCHEMA)
+    states = sdf.mapInArrow(_update_fn(factory, int_keys=int_keys), _STATES_SCHEMA)
     return merge_states_tree(states, factory, n_parts, merge_fanout)
 
 
@@ -325,6 +336,7 @@ def build_sketch_grouped(
     col: str,
     group_cols: Sequence[str],
     factory: Callable[[], Sketch],
+    int_keys: str = "string",
 ) -> DataFrame:
     """One merged sketch per group: ``(group..., state binary, n_rows)``.
 
@@ -332,7 +344,7 @@ def build_sketch_grouped(
     per group it saw.  Phase 2: shuffle *states* by group key and merge.
     """
     group_cols = list(group_cols)
-    sel = df.select(*group_cols, _key_expr(df, col, factory).alias("__key__"))
+    sel = df.select(*group_cols, _key_expr(df, col, factory, int_keys).alias("__key__"))
     out_schema = _grouped_schema(df, group_cols)
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -352,7 +364,9 @@ def build_sketch_grouped(
             for gkey, positions in grouped.indices.items():
                 ent = states.get(gkey)
                 if ent is None:
-                    ent = states[gkey] = [factory(), 0]
+                    sk_new = factory()
+                    sk_new.int_keys = int_keys
+                    ent = states[gkey] = [sk_new, 0]
                     group_arrays[gkey] = gpdf.iloc[positions[0]][group_cols]
                 sub = key_col.take(pa.array(positions))
                 ent[0].update_arrow(sub)

@@ -83,7 +83,9 @@ class SketchCheckpoint:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self.manifest_path)
 
-    def build(self, df: DataFrame, col: str, resume: bool = True) -> Sketch:
+    def build(
+        self, df: DataFrame, col: str, resume: bool = True, int_keys: str = "string"
+    ) -> Sketch:
         """Build (or resume) the sketch over ``df[col]``.
 
         Partitions whose fingerprint matches the manifest are skipped — the
@@ -127,7 +129,7 @@ class SketchCheckpoint:
 
         spark = df.sparkSession
         if todo:
-            sdf = df.select(_key_expr(df, col, self.factory).alias("__key__"))
+            sdf = df.select(_key_expr(df, col, self.factory, int_keys).alias("__key__"))
             factory = self.factory
             out_dir = self.dir
             bc_todo = spark.sparkContext.broadcast(todo)
@@ -142,6 +144,7 @@ class SketchCheckpoint:
                 if pid not in bc_todo.value:
                     return  # batches never consumed -> scan short-circuits
                 sk = factory()
+                sk.int_keys = int_keys
                 n = 0
                 for b in batches:
                     sk.update_arrow(b.column(0))

@@ -57,17 +57,33 @@ def _get_filter(bc, key: str) -> BloomFilter:
     return filt
 
 
-def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
+#: probe-side int_keys -> pack_arrow int_mode.  "string" maps to "raise":
+#: the build canonicalized keys to decimal text, so an integer column
+#: reaching the UDF means build/probe modes diverged — membership would be
+#: silently all-False; fail loudly instead.
+_INT_MODE = {"string": "raise", "le8": "le8", "typed": "typed"}
+
+
+def bloom_contains_udf(
+    spark: SparkSession, filt: BloomFilter | bytes, int_keys: str = "string"
+):
     """A reusable boolean vectorized UDF testing membership in ``filt``.
 
     Uses an Arrow-native UDF when the runtime has one (Spark 4.1+): the key
     column arrives as a ``pyarrow.Array`` and feeds ``pack_arrow`` directly —
-    no Arrow -> pandas object-string -> Arrow round trip."""
+    no Arrow -> pandas object-string -> Arrow round trip.
+
+    ``int_keys`` must match the BUILD side's mode.  With the default
+    ``"string"`` the UDF expects text keys and raises on integer input (the
+    caller casts in SQL); ``"le8"``/``"typed"`` opt into the two
+    Rust-compatible integer hashings (see :func:`poppy_spark.spark.agg._as_key`).
+    """
     state = filt.dumps() if isinstance(filt, BloomFilter) else bytes(filt)
     bc = spark.sparkContext.broadcast(state)
     # keyed by broadcast id: re-probing with the same broadcast reuses the
     # parsed filter; distinct probes rotate through the bounded LRU
     cache_key = f"bloom-{_broadcast_id(bc)}"
+    int_mode = _INT_MODE[int_keys]
 
     try:
         from pyspark.sql.functions import arrow_udf
@@ -81,7 +97,7 @@ def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
             f = _get_filter(bc, cache_key)
             from poppy_spark.core.hashkern import pack_arrow
 
-            mat, lens = pack_arrow(keys)
+            mat, lens = pack_arrow(keys, int_mode=int_mode)
             return pa.array(f.contains_packed(mat, lens))
 
         return contains
@@ -94,7 +110,7 @@ def bloom_contains_udf(spark: SparkSession, filt: BloomFilter | bytes):
         arr = pa.Array.from_pandas(keys)
         from poppy_spark.core.hashkern import pack_arrow
 
-        mat, lens = pack_arrow(arr)
+        mat, lens = pack_arrow(arr, int_mode=int_mode)
         return pd.Series(f.contains_packed(mat, lens))
 
     return contains_pd
@@ -119,12 +135,12 @@ def bloom_contains(
     from poppy_spark.spark.agg import _as_key
 
     spark = df.sparkSession
-    udf = bloom_contains_udf(spark, filt)
+    udf = bloom_contains_udf(spark, filt, int_keys)
     return df.withColumn(output_col, udf(_as_key(df, col, int_keys)))
 
 
 def register_bloom_sql(
-    spark: SparkSession, name: str, filt: BloomFilter | bytes
+    spark: SparkSession, name: str, filt: BloomFilter | bytes, int_keys: str = "string"
 ) -> None:
     """Register the membership probe as a SQL function, so the filter is
     usable from pure SQL::
@@ -133,9 +149,11 @@ def register_bloom_sql(
         spark.sql("SELECT * FROM turns WHERE seen_text(text)")
 
     The function is the same broadcast + Arrow-vectorized UDF as
-    :func:`bloom_contains`; callers cast non-string keys in the SQL.
+    :func:`bloom_contains`; with the default ``int_keys="string"`` callers
+    cast non-string keys in the SQL (an uncast integer column raises rather
+    than probing bytes the build never hashed).
     """
-    spark.udf.register(name, bloom_contains_udf(spark, filt))
+    spark.udf.register(name, bloom_contains_udf(spark, filt, int_keys))
 
 
 def bloom_semi_join(df: DataFrame, col: str, filt: BloomFilter | bytes) -> DataFrame:

@@ -82,11 +82,17 @@ class _Params:
         return min(self.bps, self.n_buckets - lo)
 
 
-def _route_batch(keys: pa.Array, p: _Params, dedup: bool):
+#: int_keys -> pack_arrow int_mode ("string" raises on integer columns: the
+#: key expression already canonicalized to text, so ints reaching the kernel
+#: mean a build/probe mode mismatch that must fail loudly)
+_INT_MODE = {"string": "raise", "le8": "le8", "typed": "typed"}
+
+
+def _route_batch(keys: pa.Array, p: _Params, dedup: bool, int_mode: str = "raise"):
     """(shard_id int32, ibucket int64, idx (n,k) uint16) for one Arrow batch."""
     from poppy_spark.core import hashkern as hk
 
-    mat, lens = hk.pack_arrow(keys)
+    mat, lens = hk.pack_arrow(keys, int_mode=int_mode)
     h1 = hk.hash_pop_batch(mat, lens)
     keep = None
     if dedup:
@@ -178,12 +184,13 @@ class ShardedBloom:
             return self._contains_columns(df, col, output_col, salt, int_keys)
 
         p = self.params
+        int_mode = _INT_MODE[int_keys]
         keyed = df.withColumn("__rid", F.monotonically_increasing_id())
         probes = keyed.select("__rid", _as_key(keyed, col, int_keys).alias("__key"))
 
         def index_fn(batches):
             for b in batches:
-                shard, ib, idx, _ = _route_batch(b.column(1), p, dedup=False)
+                shard, ib, idx, _ = _route_batch(b.column(1), p, dedup=False, int_mode=int_mode)
                 yield pa.RecordBatch.from_arrays(
                     [b.column(0), pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
                     ["rid", "shard_id", "ib", "idx"],
@@ -248,12 +255,15 @@ class ShardedBloom:
         from poppy_spark.spark.agg import _as_key, decompress_blob
 
         p = self.params
+        int_mode = _INT_MODE[int_keys]
         in_cols = list(df.columns)
         keyed = df.select("*", _as_key(df, col, int_keys).alias("__key"))
 
         def index_fn(batches):
             for b in batches:
-                shard, ib, idx, _ = _route_batch(b.column(b.num_columns - 1), p, dedup=False)
+                shard, ib, idx, _ = _route_batch(
+                    b.column(b.num_columns - 1), p, dedup=False, int_mode=int_mode
+                )
                 cols = [b.column(i) for i in range(b.num_columns - 1)]
                 yield pa.RecordBatch.from_arrays(
                     cols + [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
@@ -647,10 +657,11 @@ def build_sharded_bloom(
     p = _Params.make(capacity, fpp, n_shards)
 
     keys = df.select(_as_key(df, col, int_keys).alias("__key"))
+    int_mode = _INT_MODE[int_keys]
 
     def index_fn(batches):
         for b in batches:
-            shard, ib, idx, _ = _route_batch(b.column(0), p, dedup=True)
+            shard, ib, idx, _ = _route_batch(b.column(0), p, dedup=True, int_mode=int_mode)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
                 ["shard_id", "ib", "idx"],
