@@ -70,8 +70,13 @@ def _create_spark(args) -> int:
     — clone-insert-fold there, Spark partial-aggregation here).  With
     ``--shards`` the build goes through the bucket-range-sharded pipeline
     and reassembles the identical single poppy file at the end."""
+    # validate BEFORE creating any Spark session so an argument error never
+    # leaks an owned local[N] JVM for the process lifetime
     if not args.files:
         print("create -j N requires input files (stdin is single-process)", file=sys.stderr)
+        return 2
+    if args.shards > 1 and (args.version != 2 or args.opt != 0):
+        print("--shards requires v2 with OptLevel NONE", file=sys.stderr)
         return 2
     from pyspark.sql import SparkSession
 
@@ -83,29 +88,28 @@ def _create_spark(args) -> int:
     spark = get_spark(
         "poppy-cli-create", master=f"local[{args.jobs}]", shuffle_partitions=args.jobs
     )
-    spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.text(args.files)
-    cap = df.count()  # capacity from exact line count, like the local path
-    if args.shards > 1:
-        if args.version != 2 or args.opt != 0:
-            print("--shards requires v2 with OptLevel NONE", file=sys.stderr)
-            return 2
-        from poppy_spark.spark.sharded import build_sharded_bloom
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.read.text(args.files)
+        cap = df.count()  # capacity from exact line count, like the local path
+        if args.shards > 1:
+            from poppy_spark.spark.sharded import build_sharded_bloom
 
-        sb = build_sharded_bloom(df, "value", cap, args.fpp, n_shards=args.shards)
-        raw = sb.to_poppy_bytes()
-        with open(args.filter, "wb") as f:
-            f.write(raw)
-    else:
-        from poppy_spark.sketches import BloomSketch
-        from poppy_spark.spark.agg import build_sketch
+            sb = build_sharded_bloom(df, "value", cap, args.fpp, n_shards=args.shards)
+            raw = sb.to_poppy_bytes()
+            with open(args.filter, "wb") as f:
+                f.write(raw)
+        else:
+            from poppy_spark.sketches import BloomSketch
+            from poppy_spark.spark.agg import build_sketch
 
-        sk = build_sketch(
-            df, "value", BloomSketch.factory(cap, args.fpp, args.version, args.opt)
-        )
-        sk.filter.save(args.filter)
-    if owned:
-        spark.stop()
+            sk = build_sketch(
+                df, "value", BloomSketch.factory(cap, args.fpp, args.version, args.opt)
+            )
+            sk.filter.save(args.filter)
+    finally:
+        if owned:
+            spark.stop()
     return 0
 
 
@@ -141,12 +145,14 @@ def cmd_show(args) -> int:
 
         owned = SparkSession.getActiveSession() is None
         spark = get_spark("poppy-cli-show", master="local[2]", shuffle_partitions=2)
-        spark.sparkContext.setLogLevel("ERROR")
-        sb = ShardedBloom.load(spark, args.filter)
-        for k, v in sb.info().items():
-            print(f"{k}: {v}")
-        if owned:
-            spark.stop()
+        try:
+            spark.sparkContext.setLogLevel("ERROR")
+            sb = ShardedBloom.load(spark, args.filter)
+            for k, v in sb.info().items():
+                print(f"{k}: {v}")
+        finally:
+            if owned:
+                spark.stop()
         return 0
     bf = load(args.filter, partial=True)
     for k, v in bf.info().items():

@@ -246,12 +246,20 @@ def bloom_contains_grouped_join(
     nothing scales with (n_groups x executors) the way a broadcast would.
     Rows whose group has no state probe False.  Output = ``df`` columns +
     ``output_col``.
+
+    The input is pinned once via ``localCheckpoint`` before the row id is
+    assigned: the id is ``monotonically_increasing_id`` and feeds both the
+    probe side and the join-back, so without materialization a
+    re-evaluation (task retry, AQE re-plan, nondeterministic source order)
+    could attach hits to the wrong rows.
     """
     from poppy_spark.spark.agg import _as_key
 
     gname = states_df.columns[0] if group_col not in states_df.columns else group_col
     states = states_df.select(F.col(gname).alias("__g"), "state")
-    keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+    keyed = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
     probes = keyed.select(
         "__rid", F.col(group_col).alias("__g"), _as_key(keyed, col).alias("__key")
     )

@@ -162,18 +162,27 @@ class ShardedBloom:
         output_col: str = "hit",
         salt: int = 1,
         int_keys: str = "string",
-        carry: str = "join",
+        carry: str = "columns",
     ) -> DataFrame:
         """Append a boolean membership column via a shuffle-join probe.
 
         ``carry`` picks how the input row reunites with its hit bit:
 
-        * ``"join"`` (default) — probe tuples ship only ``(rid, shard_id,
-          ibucket, 2k idx bytes)`` and join back on a row id; the original
-          (possibly wide) rows never cross the Python boundary.
-        * ``"columns"`` — all columns flow through the cogroup as Arrow and
-          come back with ``hit`` appended: ONE shuffle instead of two, the
-          right shape for narrow probe frames (a key column or two).
+        * ``"columns"`` (default) — all columns flow through the cogroup as
+          Arrow and come back with ``hit`` appended: ONE shuffle, no
+          join-back, fully deterministic.
+        * ``"join"`` — probe tuples ship only ``(rid, shard_id, ibucket,
+          2k idx bytes)`` and join back on a row id; the original (wide)
+          rows cross no shuffle — they are pinned once to executor storage
+          via ``localCheckpoint`` instead.  The checkpoint is REQUIRED for
+          correctness, not an optimization: the row id is
+          ``monotonically_increasing_id``, and without materialization the
+          id-bearing subtree would be evaluated twice (probe side and
+          join-back side) — a shuffled/AQE-replanned input or a task retry
+          could reorder rows between evaluations and attach hits to the
+          wrong rows.  Costs one executor-storage copy of ``df``; prefer
+          the default unless rows are very wide and re-shuffling them is
+          worse than storing them.
 
         Either way each shard state crosses the wire exactly once (``salt``
         times if salted).
@@ -185,7 +194,9 @@ class ShardedBloom:
 
         p = self.params
         int_mode = _INT_MODE[int_keys]
-        keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+        keyed = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
+            eager=False
+        )
         probes = keyed.select("__rid", _as_key(keyed, col, int_keys).alias("__key"))
 
         def index_fn(batches):
@@ -623,12 +634,45 @@ class ShardedBloomStream:
         return ShardedBloom(self.params, states)
 
     def compact(self, spark: SparkSession) -> None:
-        """Rewrite appended deltas as one row per shard (idempotent)."""
-        merged = _or_merge_states(spark.read.parquet(self._shards_path))
-        tmp = self._shards_path + ".compact"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self._shards_path)
+        """Rewrite appended deltas as one row per shard — safe to run while
+        the stream keeps appending.
+
+        The old overwrite-in-place version could silently drop a shard delta
+        appended by a concurrent ``foreachBatch`` between its read and its
+        overwrite (round-2 advice finding).  This version snapshots the part
+        files present NOW, merges exactly those, moves the merged part files
+        in alongside, and deletes only the consumed inputs — a concurrent
+        append lands as a new file that is never read nor deleted here.
+        Readers racing the swap may momentarily see a consumed delta AND its
+        merged replacement; the OR-merge on read makes that harmless for the
+        filter bits (``n_rows`` can transiently double-count — it is a
+        diagnostic, not part of the membership contract).
+        """
+        import glob
+        import shutil
+        import uuid
+
+        consumed = sorted(glob.glob(os.path.join(self._shards_path, "*.parquet")))
+        if not consumed:
+            return
+        merged = _or_merge_states(spark.read.parquet(*consumed))
+        tmp = os.path.join(self.dir, f".compact-{uuid.uuid4().hex}")
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            moved = []
+            for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
+                dst = os.path.join(
+                    self._shards_path, f"compact-{uuid.uuid4().hex}-{i:04d}.parquet"
+                )
+                os.replace(part, dst)
+                moved.append(dst)
+            if not moved:  # nothing written: leave inputs untouched
+                return
+            for part in consumed:
+                if os.path.exists(part):
+                    os.remove(part)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def build_sharded_bloom(

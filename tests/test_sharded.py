@@ -221,6 +221,54 @@ class TestShardedStream:
         assert compacted.count() <= 4
         assert sink.current(spark).to_poppy_bytes() == single.to_poppy_bytes()
 
+    def test_compact_preserves_concurrent_append(self, spark, tmp_path):
+        """ADVICE r2: compact must never drop a delta appended while it runs.
+        Emulated deterministically: snapshot the delta files compact WOULD
+        consume, append another delta, then run compact — the late delta's
+        keys must survive (the old read-all/overwrite-all version lost them).
+        """
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sharded import ShardedBloomStream
+
+        d = str(tmp_path / "race")
+        sink = ShardedBloomStream(d, capacity=9000, fpp=0.001, n_shards=3)
+        full = spark.range(0, 9000).select(F.format_string("rc-%06d", "id").alias("value"))
+        sink(full.filter("id % 3 = 0"), 0)
+        sink(full.filter("id % 3 = 1"), 1)
+
+        orig_glob = glob.glob
+        appended = {"done": False}
+
+        def racing_glob(pattern, *a, **kw):
+            out = orig_glob(pattern, *a, **kw)
+            # first call = compact's snapshot; append a delta AFTER it
+            if pattern.endswith("*.parquet") and not appended["done"]:
+                appended["done"] = True
+                sink(full.filter("id % 3 = 2"), 2)
+            return out
+
+        glob.glob, _saved = racing_glob, glob.glob
+        try:
+            sink.compact(spark)
+        finally:
+            glob.glob = _saved
+        assert appended["done"]
+        merged = sink.current(spark)
+        assert merged.contains(full, "value", "hit").filter("NOT hit").count() == 0
+        # no tmp directory left behind
+        assert not [p for p in os.listdir(d) if p.startswith(".compact")]
+        # second compact (no race) collapses to <= n_shards rows; bytes are
+        # unchanged (capture before compacting: a held `current()` handle is
+        # lazy over the old file listing, stale by design after a swap)
+        before = merged.to_poppy_bytes()
+        sink.compact(spark)
+        assert spark.read.parquet(os.path.join(d, "shards")).count() <= 3
+        assert before == sink.current(spark).to_poppy_bytes()
+
     def test_real_stream_foreachbatch(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
