@@ -533,11 +533,15 @@ def q_sharded_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(decompress_blob(bytes(r["state"]))) for r in sb.states.collect()
     ]
     shards_fit = max(shard_sizes) <= budget
-    n_missed = sb.contains(orders, "o_orderkey", "hit").filter(~F.col("hit")).count()
+    n_missed = (
+        sb.contains(orders, "o_orderkey", "hit", strategy="shuffle")
+        .filter(~F.col("hit"))
+        .count()
+    )
     non = orders.select(
         F.format_string("sharded-nonmember-%09d", F.col("o_orderkey")).alias("probe")
     )
-    fp = sb.contains(non, "probe", "hit").filter(F.col("hit")).count()
+    fp = sb.contains(non, "probe", "hit", strategy="shuffle").filter(F.col("hit")).count()
     fp_ok = fp / n <= 0.001 * 2
     sb.states.unpersist()
     return spark.createDataFrame(

@@ -98,6 +98,15 @@ def main() -> None:
     sb.states.count()  # materialize the persisted states before timing probes
     bench(
         "sharded_probe",
+        lambda: sb.contains(lineitem, "l_orderkey", "hit", strategy="shuffle")
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect(),
+    )
+    # auto strategy: this filter fits the broadcast budget, so contains()
+    # reassembles once and broadcast-probes — should track bloom_probe, not
+    # sharded_probe (round-3 item: auto-pick the probe shape)
+    bench(
+        "sharded_probe_auto",
         lambda: sb.contains(lineitem, "l_orderkey", "hit")
         .agg(F.sum(F.col("hit").cast("long")))
         .collect(),

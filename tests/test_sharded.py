@@ -55,7 +55,7 @@ class TestShardedEquivalence:
 
 class TestShardedProbe:
     def test_zero_false_negatives(self, spark, keys_df, sharded):
-        probed = sharded.contains(keys_df, "k", "hit")
+        probed = sharded.contains(keys_df, "k", "hit", strategy="shuffle")
         assert probed.filter("NOT hit").count() == 0
         assert probed.count() == 30000
 
@@ -63,12 +63,12 @@ class TestShardedProbe:
         non = spark.range(0, 20000).select(
             F.format_string("absent-key-%08d", F.col("id")).alias("k")
         )
-        fp = sharded.contains(non, "k", "hit").filter("hit").count()
+        fp = sharded.contains(non, "k", "hit", strategy="shuffle").filter("hit").count()
         assert fp / 20000 <= 0.001 * 2
 
     def test_salted_probe_same_answers(self, spark, keys_df, sharded):
-        plain = sharded.contains(keys_df, "k", "hit")
-        salted = sharded.contains(keys_df, "k", "hit", salt=4)
+        plain = sharded.contains(keys_df, "k", "hit", strategy="shuffle")
+        salted = sharded.contains(keys_df, "k", "hit", salt=4, strategy="shuffle")
         assert plain.filter("NOT hit").count() == salted.filter("NOT hit").count() == 0
 
     def test_semi_anti_join(self, spark, keys_df, sharded):
@@ -159,8 +159,8 @@ class TestAutoStrategy:
 
 class TestCarryColumnsProbe:
     def test_columns_probe_matches_join_probe(self, spark, keys_df, sharded):
-        j = sharded.contains(keys_df, "k", "hit", carry="join")
-        c = sharded.contains(keys_df, "k", "hit", carry="columns")
+        j = sharded.contains(keys_df, "k", "hit", carry="join", strategy="shuffle")
+        c = sharded.contains(keys_df, "k", "hit", carry="columns", strategy="shuffle")
         assert c.columns == keys_df.columns + ["hit"]
         assert c.filter("NOT hit").count() == j.filter("NOT hit").count() == 0
         assert c.count() == 30000
@@ -168,12 +168,12 @@ class TestCarryColumnsProbe:
         non = spark.range(0, 8000).select(
             F.format_string("colsprobe-%08d", F.col("id")).alias("k")
         )
-        jj = {r["k"]: r["hit"] for r in sharded.contains(non, "k", "hit", carry="join").collect()}
-        cc = {r["k"]: r["hit"] for r in sharded.contains(non, "k", "hit", carry="columns").collect()}
+        jj = {r["k"]: r["hit"] for r in sharded.contains(non, "k", "hit", carry="join", strategy="shuffle").collect()}
+        cc = {r["k"]: r["hit"] for r in sharded.contains(non, "k", "hit", carry="columns", strategy="shuffle").collect()}
         assert jj == cc
 
     def test_columns_probe_salted(self, spark, keys_df, sharded):
-        c = sharded.contains(keys_df, "k", "hit", carry="columns", salt=3)
+        c = sharded.contains(keys_df, "k", "hit", carry="columns", salt=3, strategy="shuffle")
         assert c.filter("NOT hit").count() == 0
 
 
@@ -312,3 +312,48 @@ class TestShardedInfo:
         assert main(["show", d]) == 0
         out = capsys.readouterr().out
         assert "n_shards: 7" in out and "capacity: 30000" in out
+
+
+class TestProbeStrategyAuto:
+    """Round-3: contains() picks broadcast when the filter fits the budget
+    (2.5x faster at bench scale), shuffle otherwise; results identical."""
+
+    def test_auto_picks_broadcast_and_matches_shuffle(self, spark, keys_df, sharded):
+        auto = sharded.contains(keys_df, "k", "hit")  # small filter -> broadcast
+        shuf = sharded.contains(keys_df, "k", "hit", strategy="shuffle")
+        am = {r["k"]: r["hit"] for r in auto.collect()}
+        sm = {r["k"]: r["hit"] for r in shuf.collect()}
+        assert am == sm
+        # mixed members/non-members agree row-for-row too
+        mixed = spark.range(29990, 30050).select(
+            F.format_string("turn-key-%08d", F.col("id")).alias("k")
+        )
+        am = {r["k"]: r["hit"] for r in sharded.contains(mixed, "k", "hit").collect()}
+        sm = {
+            r["k"]: r["hit"]
+            for r in sharded.contains(mixed, "k", "hit", strategy="shuffle").collect()
+        }
+        assert am == sm
+        assert sum(am.values()) >= 10  # the 10 members always hit
+
+    def test_auto_respects_budget(self, spark, keys_df, sharded):
+        # budget below the filter size -> shuffle path (observable: forcing
+        # broadcast under the same budget raises in to_poppy_bytes)
+        small_budget = sharded.size_in_bytes() - 1
+        out = sharded.contains(
+            keys_df, "k", "hit", strategy="auto", broadcast_budget=small_budget
+        )
+        assert out.filter("NOT hit").count() == 0
+        with pytest.raises(MemoryError):
+            sharded.contains(
+                keys_df, "k", "hit", strategy="broadcast",
+                broadcast_budget=small_budget,
+            )
+
+    def test_broadcast_cache_reused(self, spark, keys_df, sharded):
+        sharded._poppy_cache = None
+        sharded.contains(keys_df, "k", "hit", strategy="broadcast").count()
+        raw1 = sharded._poppy_cache
+        assert raw1 is not None
+        sharded.contains(keys_df, "k", "hit", strategy="broadcast").count()
+        assert sharded._poppy_cache is raw1

@@ -379,3 +379,86 @@ class TestCatalogFormats:
         assert lines.columns == ["value"] and lines.count() == 300
         sk = build_sketch(lines, "value", BloomSketch.factory(300, 0.01))
         assert sk.filter.contains_bytes(b"cat-00042")
+
+
+class TestAutoStrategyHoisted:
+    """Round-3: the states-vs-sharded cost model lives in build_sketch_df
+    (the lazy/composable form) too, not just the driver-returning
+    build_sketch."""
+
+    def test_df_sharded_bytes_equal_states(self, spark, orders):
+        from poppy_spark.spark.agg import build_sketch_df
+
+        n = orders.count()
+        fac = BloomSketch.factory(n, 0.001)
+        st = build_sketch_df(orders, "o_orderkey", fac, strategy="states").collect()[0]
+        sh = build_sketch_df(orders, "o_orderkey", fac, strategy="sharded").collect()[0]
+        assert bytes(st["state"]) == bytes(sh["state"])
+        assert st["n_rows"] == orders.count()
+        # n_rows on the sharded path counts deduped index tuples (diagnostic)
+
+    def test_df_auto_picks_sharded_for_big_filter(self, spark):
+        from poppy_spark.spark.agg import _auto_strategy
+
+        # at fpp=1e-3 a v2 state is ~1.8 B/key; tuples are ~(12+2k) B/key, so
+        # states traffic passes 4x tuple traffic past ~72 partitions
+        big = BloomSketch.create(50_000_000, 0.001)  # ~90 MB state
+        small = BloomSketch.create(10_000, 0.001)
+        df = spark.range(0, 1000).selectExpr("cast(id as string) as k").repartition(256)
+        assert _auto_strategy(big, df, None) == "sharded"
+        assert _auto_strategy(small, df, None) == "states"
+        few = df.coalesce(4)
+        assert _auto_strategy(big, few, None) == "states"
+
+    def test_df_auto_end_to_end_loadable(self, spark, orders):
+        from poppy_spark.spark.agg import build_sketch_df
+
+        n = orders.count()
+        row = build_sketch_df(
+            orders, "o_orderkey", BloomSketch.factory(n, 0.001), strategy="auto"
+        ).collect()[0]
+        sk = BloomSketch.loads(bytes(row["state"]))
+        assert sk.filter.capacity == n
+
+
+class TestGroupedFlushBudget:
+    """Round-3: grouped builds flush partial states when the task's live
+    state dict exceeds the budget — bounded memory at any group cardinality."""
+
+    def test_flushed_equals_unflushed(self, spark, orders):
+        from poppy_spark.spark.agg import build_sketch_grouped
+
+        fac = BloomSketch.factory(2000, 0.01)
+        a = build_sketch_grouped(orders, "o_orderkey", ["o_orderpriority"], fac)
+        # budget of 1 byte => flush after every input batch
+        b = build_sketch_grouped(
+            orders, "o_orderkey", ["o_orderpriority"], fac, max_task_state_bytes=1
+        )
+        am = {r["o_orderpriority"]: bytes(r["state"]) for r in a.collect()}
+        bm = {r["o_orderpriority"]: bytes(r["state"]) for r in b.collect()}
+        assert am == bm
+
+    def test_high_cardinality_groups_bounded(self, spark):
+        """~10^4 distinct groups with a tiny flush budget: the build must
+        succeed (pre-round-3 this held 10^4 states live per task) and every
+        group's filter must contain its own keys."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.agg import build_sketch_grouped
+        from poppy_spark.spark.probe import bloom_contains_grouped_join
+
+        df = (
+            spark.range(0, 40_000)
+            .select(
+                F.format_string("conv-%05d", F.col("id") % 10_000).alias("conv"),
+                F.format_string("turn-text-%08d", F.col("id")).alias("text"),
+            )
+            .repartition(8)
+        )
+        fac = BloomSketch.factory(16, 0.01)
+        states = build_sketch_grouped(
+            df, "text", ["conv"], fac, max_task_state_bytes=4096
+        )
+        assert states.count() == 10_000
+        hits = bloom_contains_grouped_join(df, "text", "conv", states)
+        assert hits.filter("NOT hit").count() == 0
