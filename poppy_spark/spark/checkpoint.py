@@ -61,6 +61,32 @@ def _fingerprint(df: DataFrame, col: str) -> DataFrame:
     return sel.mapInArrow(fp, "pid bigint, n_rows bigint, fingerprint bigint")
 
 
+def _input_snapshot(df: DataFrame) -> list | None:
+    """File-metadata snapshot of the DataFrame's input: sorted
+    ``(path, size, mtime_ns)``.  O(listing), no data scan.  Sizes/mtimes
+    come from a driver-side stat and degrade to ``-1`` for paths the driver
+    cannot stat (object-store URIs) — there the snapshot still detects
+    added/removed/renamed files, which covers immutable-file stores; only
+    an in-place rewrite of an existing same-name file escapes it (use
+    ``fingerprint="content"`` when inputs mutate in place).  Returns None
+    for non-file-backed inputs (in-memory DataFrames)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    snap = []
+    for uri in sorted(files):
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            st = os.stat(path)
+            snap.append([uri, st.st_size, st.st_mtime_ns])
+        except OSError:
+            snap.append([uri, -1, -1])
+    return snap
+
+
 class SketchCheckpoint:
     def __init__(self, directory: str, factory: Callable[[], Sketch]):
         self.dir = directory
@@ -84,7 +110,12 @@ class SketchCheckpoint:
         os.replace(tmp, self.manifest_path)
 
     def build(
-        self, df: DataFrame, col: str, resume: bool = True, int_keys: str = "string"
+        self,
+        df: DataFrame,
+        col: str,
+        resume: bool = True,
+        int_keys: str = "string",
+        fingerprint: str = "content",
     ) -> Sketch:
         """Build (or resume) the sketch over ``df[col]``.
 
@@ -96,6 +127,19 @@ class SketchCheckpoint:
         the final union runs as the same bounded-fan-in Spark merge tree the
         one-shot build uses.  Driver memory is O(1): it ever holds only the
         per-partition fingerprint rows and the single final state.
+
+        ``fingerprint`` picks how change detection is paid for (round-2
+        verdict item — a content-fingerprinted resume costs a full key-column
+        read even when nothing changed, which at 100 TB is a full scan):
+
+        * ``"content"`` (default) — per-partition xor-of-key-hashes; robust
+          to any mutation, costs one column scan per resume.
+        * ``"files"`` — a file-metadata snapshot (path, size, mtime) of the
+          input.  An all-unchanged resume costs a LISTING, not a scan: the
+          saved ``final.state`` is returned directly.  Any snapshot change
+          falls back to the content path for that build (so only changed
+          data pays).  Requires a file-backed DataFrame; in-memory inputs
+          silently use content mode.
 
         Manifest entries for partition ids absent from the current input
         (input shrank or was repartitioned) are pruned — their stale state
@@ -109,6 +153,19 @@ class SketchCheckpoint:
             else {"sketch": type(self.factory()).kind, "partitions": {}}
         )
         done = manifest["partitions"]
+
+        snap = _input_snapshot(df) if fingerprint == "files" else None
+        final_path = os.path.join(self.dir, "final.state")
+        if (
+            resume
+            and snap is not None
+            and manifest.get("input_snapshot") == snap
+            and done
+            and os.path.exists(final_path)
+        ):
+            # zero-scan resume: listing matched, nothing to recompute
+            with open(final_path, "rb") as f:
+                return type(self.factory()).loads(f.read())
 
         fps = {r["pid"]: r for r in _fingerprint(df, col).collect()}
 
@@ -170,6 +227,14 @@ class SketchCheckpoint:
                     "state_file": f"part-{r['pid']:05d}.state",
                     "updated_at": t,
                 }
+            if snap is not None:
+                manifest["input_snapshot"] = snap
+            self._save_manifest(manifest)
+        elif snap is not None and manifest.get("input_snapshot") != snap:
+            # content fingerprints proved nothing changed despite a listing
+            # delta (e.g. a rewrite with identical keys): refresh the
+            # snapshot so the NEXT files-mode resume is zero-scan again
+            manifest["input_snapshot"] = snap
             self._save_manifest(manifest)
 
         # merge all checkpointed partitions executor-side: load each state

@@ -386,34 +386,45 @@ class ShardedBloom:
             raise MergeError("cannot merge sharded blooms with different parameters")
         from poppy_spark.spark.agg import compress_blob, decompress_blob
 
-        how = "full" if op == "or" else "inner"
-        a = self.states.select("shard_id", F.col("state").alias("sa"), F.col("n_rows").alias("na"))
-        b = other.states.select("shard_id", F.col("state").alias("sb"), F.col("n_rows").alias("nb"))
-        joined = a.join(b, "shard_id", how)
+        # union-with-side-tag + per-shard vectorized combine — the same
+        # kernel shape as _or_merge_states (round-3: replaces the per-row
+        # itertuples loop over a two-sided join).  Within a side duplicate
+        # shard rows OR first; across sides apply ``op``.  Intersection
+        # semantics: a shard present on one side only ANDs with the other
+        # side's implicit all-zero shard -> the row is dropped.
+        a = self.states.withColumn("__src", F.lit(0))
+        b = other.states.withColumn("__src", F.lit(1))
+        both = a.unionByName(b)
+        inner = op == "and"
 
         def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for r in pdf.itertuples(index=False):
-                xa = decompress_blob(r.sa) if r.sa is not None else None
-                xb = decompress_blob(r.sb) if r.sb is not None else None
-                if xa is None:
-                    blob = xb
-                elif xb is None:
-                    blob = xa
-                else:
-                    va = np.frombuffer(xa, dtype=np.uint8)
-                    vb = np.frombuffer(xb, dtype=np.uint8)
-                    blob = (
-                        (va | vb) if op == "or" else (va & vb)
-                    ).tobytes()
-                na = int(r.na) if r.na is not None and not pd.isna(r.na) else 0
-                nb_ = int(r.nb) if r.nb is not None and not pd.isna(r.nb) else 0
-                out.append((int(r.shard_id), compress_blob(bytes(blob)), na + nb_))
-            return pd.DataFrame(out, columns=["shard_id", "state", "n_rows"])
+            src = pdf["__src"].to_numpy()
+            sides = []
+            for s in (0, 1):
+                blobs = [
+                    np.frombuffer(decompress_blob(raw), dtype=np.uint8)
+                    for raw in pdf["state"][src == s]
+                ]
+                if blobs:
+                    sides.append(_reduce_blobs(blobs, "or"))
+            if inner and len(sides) < 2:
+                return pd.DataFrame(
+                    {
+                        "shard_id": pd.Series(dtype="int32"),
+                        "state": pd.Series(dtype=object),
+                        "n_rows": pd.Series(dtype="int64"),
+                    }
+                )
+            acc = _reduce_blobs(sides, op)
+            return pd.DataFrame(
+                {
+                    "shard_id": [int(pdf["shard_id"].iloc[0])],
+                    "state": [compress_blob(acc.tobytes())],
+                    "n_rows": [int(pdf["n_rows"].sum())],
+                }
+            )
 
-        merged = joined.groupBy("shard_id").applyInPandas(
-            lambda pdf: combine(pdf), _STATE_SCHEMA
-        )
+        merged = both.groupBy("shard_id").applyInPandas(combine, _STATE_SCHEMA)
         return ShardedBloom(self.params, merged)
 
     def union(self, other: "ShardedBloom") -> "ShardedBloom":
@@ -585,15 +596,24 @@ class ShardedBloom:
         return cls(p, spark.read.parquet(os.path.join(directory, "shards")))
 
 
+def _reduce_blobs(blobs: list, op: str) -> np.ndarray:
+    """Elementwise OR/AND fold of equal-length uint8 arrays (vectorized)."""
+    acc = blobs[0].copy()
+    f = np.bitwise_or if op == "or" else np.bitwise_and
+    for v in blobs[1:]:
+        f(acc, v, out=acc)
+    return acc
+
+
 def _or_merge_states(states: DataFrame) -> DataFrame:
     """Collapse duplicate shard rows (appended deltas) by bitwise OR."""
     from poppy_spark.spark.agg import compress_blob, decompress_blob
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = None
-        for raw in pdf["state"]:
-            v = np.frombuffer(decompress_blob(raw), dtype=np.uint8)
-            acc = v.copy() if acc is None else np.bitwise_or(acc, v, out=acc)
+        acc = _reduce_blobs(
+            [np.frombuffer(decompress_blob(raw), dtype=np.uint8) for raw in pdf["state"]],
+            "or",
+        )
         return pd.DataFrame(
             {
                 "shard_id": [int(pdf["shard_id"].iloc[0])],

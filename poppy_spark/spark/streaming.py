@@ -34,9 +34,35 @@ class StreamingSketch:
     resumes from it (exactly-once per micro-batch is inherited from the sink
     checkpoint — re-processing a batch is harmless for idempotent updates
     like Bloom/HLL/MinHash, and documented as at-least-once for CMS counts).
+
+    WORKER-SIZED STATES ONLY: every micro-batch the driver holds two copies
+    of the state (the collected delta and the current) and rewrites the
+    state file.  ``max_state_bytes`` (default 1 GiB) guards that shape —
+    a factory whose empty state already exceeds it is refused at
+    construction with a pointer to
+    :class:`poppy_spark.spark.sharded.ShardedBloomStream`, whose per-batch
+    cost is one append of touched SHARD deltas, driver-free.
     """
 
-    def __init__(self, directory: str, factory: Callable[[], Sketch], col: str = "value"):
+    def __init__(
+        self,
+        directory: str,
+        factory: Callable[[], Sketch],
+        col: str = "value",
+        max_state_bytes: int = 1 << 30,
+    ):
+        sk0 = factory()
+        filt = getattr(sk0, "filter", None)
+        size = getattr(filt, "size_in_bytes", None)
+        est = (size() if callable(size) else size) if size is not None else len(sk0.dumps())
+        if est > max_state_bytes:
+            raise ValueError(
+                f"sketch state is ~{est} bytes; StreamingSketch folds the "
+                f"whole state through the driver every micro-batch and is "
+                f"capped at max_state_bytes={max_state_bytes} — use "
+                f"poppy_spark.spark.sharded.ShardedBloomStream for filters "
+                f"this large (appends per-shard deltas, no driver state)"
+            )
         self.dir = directory
         self.factory = factory
         self.col = col

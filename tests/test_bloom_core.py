@@ -383,3 +383,37 @@ class TestFprKeyTypeMatrix:
         hits = b.contains_batch(probes)
         fpr = float(hits.sum()) / len(probes)
         assert fpr <= self.FPP * (1 + self.TOL), (kind, fpr)
+
+
+class TestV1Deprecation:
+    """v1 is DCSO-byte-compat only (reference deprecation, v1.rs:69-73:
+    'its fpp is not guaranteed to be correct').  These tests pin the
+    measured defect boundary documented in the README: the multiplicative
+    index chain degenerates when the stored bit count m is a power of two."""
+
+    def test_power_of_two_m_blows_fpp(self):
+        import math
+
+        from poppy_spark.core.params import k as k_fn
+        from poppy_spark.core.v1 import BloomV1
+
+        m = 1 << 16
+        p = 0.001
+        n = int(m * (math.log(2) ** 2) / math.log(1 / p))
+        bf = BloomV1(n, p, k_fn(m, n), m)
+        bf.insert_batch([f"member-key-{i:09d}".encode() for i in range(n)])
+        probes = [f"absent-key-{i:09d}".encode() for i in range(100_000)]
+        fpr = bf.contains_batch(probes).mean()
+        # catastrophic, not marginal: >= 100x the requested bound
+        assert fpr > 100 * p
+
+    def test_own_sizing_never_power_of_two_and_holds_fpp(self):
+        from poppy_spark.core import BloomFilter
+
+        for cap, p in [(1139, 0.001), (4558, 0.001), (6837, 0.01)]:
+            bf = BloomFilter.with_params(1, cap, p)
+            m = bf._inner.bit_size
+            assert m & (m - 1) != 0, f"sized m={m} is a power of two"
+            bf.insert_batch([f"member-key-{i:09d}".encode() for i in range(cap)])
+            probes = [f"absent-key-{i:09d}".encode() for i in range(100_000)]
+            assert bf.contains_batch(probes).mean() <= p * 2.5

@@ -264,3 +264,62 @@ class TestPartitionedStateWarehouse:
         }
         for role, n in exact.items():
             assert got[role] == pytest.approx(n, rel=0.1, abs=3), role
+
+
+class TestFilesFingerprint:
+    """Round-3: fingerprint='files' makes an all-unchanged resume cost a
+    file LISTING instead of a full key-column scan."""
+
+    def _write_input(self, spark, path, n=12000, start=0):
+        spark.range(start, start + n).select(
+            F.format_string("fk-%06d", F.col("id")).alias("k")
+        ).repartition(4).write.mode("overwrite").parquet(path)
+
+    def test_unchanged_resume_scans_nothing(self, spark, tmp_path, monkeypatch):
+        src = str(tmp_path / "src")
+        self._write_input(spark, src)
+        df = spark.read.parquet(src)
+        ck = SketchCheckpoint(str(tmp_path / "ck"), BloomSketch.factory(12000, 0.001))
+        first = ck.build(df, "k", fingerprint="files")
+
+        # resume: forbid ANY data scan — content fingerprinting must not run
+        import poppy_spark.spark.checkpoint as cpmod
+
+        def boom(*a, **kw):
+            raise AssertionError("content fingerprint scan ran on unchanged input")
+
+        monkeypatch.setattr(cpmod, "_fingerprint", boom)
+        again = ck.build(spark.read.parquet(src), "k", fingerprint="files")
+        assert again.dumps() == first.dumps()
+
+    def test_changed_input_falls_back_to_content(self, spark, tmp_path):
+        src = str(tmp_path / "src2")
+        self._write_input(spark, src)
+        df = spark.read.parquet(src)
+        ck = SketchCheckpoint(str(tmp_path / "ck2"), BloomSketch.factory(40000, 0.001))
+        ck.build(df, "k", fingerprint="files")
+        # grow the input: snapshot differs -> content path -> new keys land
+        self._write_input(spark, src, n=24000)
+        sk = ck.build(spark.read.parquet(src), "k", fingerprint="files")
+        assert sk.filter.contains_bytes("fk-023999")
+
+    def test_in_memory_input_uses_content_mode(self, spark, tmp_path, keys_df):
+        ck = SketchCheckpoint(str(tmp_path / "ck3"), BloomSketch.factory(20000, 0.001))
+        sk = ck.build(keys_df, "k", fingerprint="files")  # no inputFiles
+        assert sk.filter.contains_bytes("key-000001")
+
+
+class TestStreamingSizeGuard:
+    def test_oversized_state_refused_with_pointer(self, tmp_path):
+        from poppy_spark.spark.streaming import StreamingSketch
+
+        with pytest.raises(ValueError, match="ShardedBloomStream"):
+            StreamingSketch(
+                str(tmp_path / "huge"),
+                BloomSketch.factory(900_000_000, 0.001),  # ~1.6 GB state
+            )
+
+    def test_normal_state_accepted(self, tmp_path):
+        from poppy_spark.spark.streaming import StreamingSketch
+
+        StreamingSketch(str(tmp_path / "ok"), BloomSketch.factory(10000, 0.001))
