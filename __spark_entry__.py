@@ -778,6 +778,94 @@ def q_lsh_hot_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-3 additions: bounded-memory high-cardinality grouped builds and the
+# composed corpus-cleaning flagship pipeline
+# --------------------------------------------------------------------------
+
+
+def q_grouped_hc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality grouped build: one Bloom per ORDER (~15k groups at
+    sf0.01) under a deliberately tiny flush budget, so phase-1 tasks hold at
+    most ~60 live states regardless of group cardinality (round-3
+    flush-on-budget); probed through the cogrouped shuffle join — every
+    (order, part) row must hit its own group's filter."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch_grouped
+    from poppy_spark.spark.probe import bloom_contains_grouped_join
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    states = build_sketch_grouped(
+        li,
+        "l_partkey",
+        ["l_orderkey"],
+        BloomSketch.factory(16, 0.01),  # <= 7 parts per order in TPC-H data
+        max_task_state_bytes=256 * 1024,
+    ).persist()
+    n_groups = states.count()
+    hits = bloom_contains_grouped_join(li, "l_partkey", "l_orderkey", states)
+    n_missed = hits.filter(~F.col("hit")).count()
+    states.unpersist()
+    return spark.createDataFrame(
+        [(n_groups, li.count(), n_missed)],
+        "n_groups bigint, n_rows bigint, n_missed bigint",
+    )
+
+
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline as ONE plan — exact
+    dedup -> quality filter -> near-duplicate removal -> survivor counts —
+    over a corpus with planted exact copies (id+1M) and planted near-dup
+    copies (id+2M, one appended token on >=30-word docs, shingle Jaccard
+    >= ~0.9).  Every stage is replicated exactly in the DuckDB oracle; the
+    near-dup stage's LSH (64 perms, 16 bands) has per-pair miss probability
+    <= 2e-5 at j=0.85 and the data is deterministic, so the exact-verified
+    pair set equals the oracle's brute-force Jaccard pairs."""
+    from poppy_spark.spark.dedup import (
+        drop_exact_duplicates,
+        near_duplicate_pairs,
+        normalized_words,
+    )
+    from poppy_spark.spark.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    long_docs = docs.filter(F.size(normalized_words(F.col("text"))) >= 30)
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    ).unionAll(
+        long_docs.select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzneardupmarker")).alias("text"),
+        )
+    )
+    n_input = corpus.count()
+    surv = drop_exact_duplicates(corpus, "text", "doc_id")
+    n_exact = surv.count()
+    qual = (
+        quality_score(surv, "text")
+        .filter(F.col("quality") >= 0.99)
+        .select("doc_id", "text")
+        .persist()
+    )
+    n_quality = qual.count()
+    pairs = (
+        near_duplicate_pairs(
+            qual, "text", "doc_id", threshold=0.85, n_perms=64, bands=16
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_pairs = pairs.count()
+    n_final = n_quality - pairs.select("id_b").distinct().count()
+    qual.unpersist()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [(n_input, n_exact, n_quality, n_pairs, n_final)],
+        "n_input bigint, n_after_exact bigint, n_after_quality bigint, "
+        "n_neardup_pairs bigint, n_final bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -823,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
         "lsh_hot_bucket_cap": q_lsh_hot_bucket_cap,
+        "grouped_hc_membership": q_grouped_hc_membership,
+        "corpus_clean_pipeline": q_corpus_clean_pipeline,
     }
 
 
@@ -977,4 +1067,52 @@ FROM s""",
         "lsh_hot_bucket_cap": (
             "SELECT COUNT(*) AS n_docs, 0 AS n_missed, TRUE AS hot_pairs_bounded FROM documents"
         ),
+        "grouped_hc_membership": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS n_groups, COUNT(*) AS n_rows, "
+            "0 AS n_missed FROM lineitem"
+        ),
+        "corpus_clean_pipeline": """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text || ' zzneardupmarker' FROM documents
+  WHERE len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) >= 30
+), surv AS (
+  SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text
+), w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS words,
+         length(text) AS n_chars
+  FROM surv
+), s AS (
+  SELECT doc_id, words,
+         len(words) AS n_tokens,
+         CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS punct_ratio,
+         CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS digit_ratio,
+         CAST(len(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are','this','not','you'], x))) AS DOUBLE)
+           / GREATEST(len(words), 1) AS stop_ratio
+  FROM w
+), q AS (
+  SELECT doc_id, words FROM s
+  WHERE (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END)
+      * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END)
+      * (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+      * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END) >= 0.99
+), sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        FOR i IN range(1, GREATEST(len(words) - 1, 2))]) AS sset
+  FROM q
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.85
+)
+SELECT (SELECT COUNT(*) FROM corpus) AS n_input,
+       (SELECT COUNT(*) FROM surv) AS n_after_exact,
+       (SELECT COUNT(*) FROM q) AS n_after_quality,
+       (SELECT COUNT(*) FROM pairs) AS n_neardup_pairs,
+       (SELECT COUNT(*) FROM q) - (SELECT COUNT(DISTINCT id_b) FROM pairs) AS n_final""",
     }

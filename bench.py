@@ -149,6 +149,32 @@ def main() -> None:
         .agg(F.avg("quality"), F.count_distinct("lang_guess"))
         .collect(),
     )
+    # 10. the composed corpus-cleaning pipeline as one plan (round-3
+    # flagship): exact dedup -> quality filter -> near-dup pairs -> survivor
+    # count, over docs + planted exact/near copies (same shape as the
+    # corpus_clean_pipeline oracle row, at bench scale)
+    from poppy_spark.spark.dedup import (
+        drop_exact_duplicates, near_duplicate_pairs, normalized_words,
+    )
+
+    def corpus_pipeline():
+        long_docs = docs.filter(F.size(normalized_words(F.col("text"))) >= 30)
+        corpus = docs.select("doc_id", "text").unionAll(
+            docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        ).unionAll(
+            long_docs.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz-near-dup")).alias("text"),
+            )
+        )
+        surv = drop_exact_duplicates(corpus, "text", "doc_id")
+        qual = quality_score(surv, "text").filter(F.col("quality") >= 0.99).select("doc_id", "text")
+        pairs = near_duplicate_pairs(qual, "text", "doc_id", threshold=0.85, n_perms=64, bands=16)
+        return qual.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+        ).count()
+
+    bench("corpus_pipeline", corpus_pipeline)
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)
