@@ -79,7 +79,7 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
 
     from poppy_spark.spark.sharded import build_sharded_bloom
 
-    state = build_sketch(df, "text", bloom_factory).dumps()
+    state = build_sketch(df, "text", bloom_factory, strategy="states").dumps()
 
     def sharded_build():
         sb = build_sharded_bloom(
@@ -89,7 +89,9 @@ def _run_at(cores: int, path: str, n_rows: int) -> dict:
 
     out = {
         "cores": cores,
-        "bloom_sec": round(best(lambda: build_sketch(df, "text", bloom_factory)), 3),
+        # pinned to the classic states path: auto would route this filter size
+        # through sharded and the row would stop measuring the states shape
+        "bloom_sec": round(best(lambda: build_sketch(df, "text", bloom_factory, strategy="states")), 3),
         "sharded_sec": round(best(sharded_build), 3),
         "probe_sec": round(best(
             lambda: bloom_contains(df, "text", state, "hit")

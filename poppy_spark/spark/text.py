@@ -3,11 +3,59 @@ quality scoring, language identification, document fingerprinting.
 
 All built-in Spark expressions (split / regexp / aggregate / xxhash64) —
 JVM-side, whole-stage-codegen friendly, no Python in the hot path.
+
+Model seams: the heuristics here (stopword language id, ratio-based
+quality, regex pretokenizer) are the no-dependency defaults; real
+pipelines swap in fastText / a trained classifier / a BPE tokenizer via
+the ``model_factory`` parameter on :func:`detect_language`,
+:func:`quality_score` and :func:`model_token_count`.  A factory is a
+picklable zero-arg callable, invoked ONCE PER PYTHON WORKER (cached) and
+returning ``predict(list[str]) -> list``; batches arrive through the
+Arrow-vectorized pandas UDF path, so a plugged model costs one Arrow
+transfer per 16k-row batch, never per-row Python.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: per-worker cache of instantiated models, keyed by the factory's pickle
+#: (one fastText model per executor process, not per batch)
+_MODEL_CACHE: dict = {}
+
+
+def _model_udf(model_factory, return_type: str):
+    """Wrap a model factory into an Arrow-batched pandas UDF whose model is
+    instantiated once per Python worker."""
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    key = pickle.dumps(model_factory)
+
+    def apply_model(texts):
+        predict = _MODEL_CACHE.get(key)
+        if predict is None:
+            predict = _MODEL_CACHE[key] = model_factory()
+        return pd.Series(predict(texts.tolist()))
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would otherwise hand pyspark unresolvable strings
+    apply_model.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(apply_model, return_type)
+
+
+def model_token_count(
+    df: DataFrame, text_col: str, model_factory, output_col: str = "n_tokens"
+) -> DataFrame:
+    """Token counts from a plugged tokenizer (e.g. a real BPE): the factory
+    returns ``predict(list[str]) -> list[int]``.  The heuristic default for
+    dependency-free pipelines is :func:`token_count` /
+    :func:`bpe_ish_token_count` (pure JVM expressions)."""
+    return df.withColumn(
+        output_col, _model_udf(model_factory, "bigint")(F.col(text_col))
+    )
 
 #: tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
 STOPWORDS = {
@@ -70,10 +118,20 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, output_col: str = "quality") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str, output_col: str = "quality", model_factory=None
+) -> DataFrame:
     """Heuristic [0,1] quality score: penalizes extreme length, high
     punctuation/digit density, and low stopword ratio — the standard cheap
-    pre-filter shape for web-scale corpus cleaning."""
+    pre-filter shape for web-scale corpus cleaning.
+
+    ``model_factory`` plugs a trained quality classifier instead (returns
+    ``predict(list[str]) -> list[float]``, instantiated once per worker);
+    the heuristic stays the dependency-free default."""
+    if model_factory is not None:
+        return df.withColumn(
+            output_col, _model_udf(model_factory, "double")(F.col(text_col))
+        )
     stats = text_stats(df, text_col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     words = _words(F.col(text_col))
@@ -89,9 +147,19 @@ def quality_score(df: DataFrame, text_col: str, output_col: str = "quality") -> 
     )
 
 
-def detect_language(df: DataFrame, text_col: str, output_col: str = "lang_guess") -> DataFrame:
+def detect_language(
+    df: DataFrame, text_col: str, output_col: str = "lang_guess", model_factory=None
+) -> DataFrame:
     """Stopword-vote language id over the supported language set; 'und' when
-    nothing matches.  Cheap n-gram-free heuristic adequate for routing."""
+    nothing matches.  Cheap n-gram-free heuristic adequate for routing.
+
+    ``model_factory`` plugs a real language identifier (e.g. fastText
+    lid.176: factory loads the model once per worker and returns
+    ``predict(list[str]) -> list[str]`` of language codes)."""
+    if model_factory is not None:
+        return df.withColumn(
+            output_col, _model_udf(model_factory, "string")(F.col(text_col))
+        )
     words = _words(F.col(text_col))
     scores = []
     for lang, sws in STOPWORDS.items():

@@ -168,6 +168,53 @@ class TestTextAnalysis:
         assert fps[0] == fps[1]
         assert fps[0] != fps[2]
 
+    def test_model_seams_plug_in(self, spark):
+        """model_factory routes through the per-worker-cached Arrow UDF path
+        for all three seams (language, quality, token count)."""
+        from poppy_spark.spark.text import (
+            detect_language,
+            model_token_count,
+            quality_score,
+        )
+
+        df = spark.createDataFrame(
+            [("hello world",), ("bonjour le monde entier",)], "text string"
+        )
+        langs = dict(
+            detect_language(df, "text", model_factory=_fake_lang_model)
+            .select("text", "lang_guess")
+            .collect()
+        )
+        assert langs["hello world"] == "xx-2"
+        assert langs["bonjour le monde entier"] == "xx-4"
+
+        quals = dict(
+            quality_score(df, "text", model_factory=_fake_quality_model)
+            .select("text", "quality")
+            .collect()
+        )
+        assert quals["hello world"] == pytest.approx(11 / 100)
+
+        toks = dict(
+            model_token_count(df, "text", model_factory=_fake_tokenizer)
+            .select("text", "n_tokens")
+            .collect()
+        )
+        assert toks["bonjour le monde entier"] == 4
+
+
+# module-level so the factories pickle into executor workers
+def _fake_lang_model():
+    return lambda texts: [f"xx-{len(t.split())}" for t in texts]
+
+
+def _fake_quality_model():
+    return lambda texts: [min(1.0, len(t) / 100.0) for t in texts]
+
+
+def _fake_tokenizer():
+    return lambda texts: [len(t.split()) for t in texts]
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
