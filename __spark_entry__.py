@@ -504,6 +504,102 @@ def q_transcripts_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(diff == 0,)], "stable boolean")
 
 
+def q_transcripts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star query family per role/tool/time bucket on the
+    transcripts table: membership ('has this conv_id been seen for tool T?'
+    — grouped Bloom, zero FN), distinct-count (HLL conversations per day
+    within bound), frequency (count-min of tool calls per day within
+    eps*N_day), and quantiles (KLL median + t-digest p99 of turn length per
+    role within rank bounds).  States stay distributed through the grouped
+    build; only finished per-group states (KBs each) are collected."""
+    from poppy_spark.data.transcripts import generate_transcripts
+    from poppy_spark.sketches import (
+        BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch,
+    )
+    from poppy_spark.spark.agg import build_sketch_grouped, sketch_value_column
+    from poppy_spark.spark.probe import bloom_contains_grouped
+
+    t = generate_transcripts(spark, n_convs=600, seed=11).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    ).withColumn("n_chars", F.length("text"))
+    tooled = t.filter(F.col("tool").isNotNull())
+
+    # membership per tool: Bloom over conv_id, grouped by tool; zero FN
+    blooms = build_sketch_grouped(
+        tooled, "conv_id", ["tool"], BloomSketch.factory(20_000, 0.001)
+    ).select("tool", "state")
+    n_missed = (
+        bloom_contains_grouped(tooled, "conv_id", "tool", blooms, "hit")
+        .filter(~F.col("hit"))
+        .count()
+    )
+
+    # distinct conversations per day bucket: HLL within its published bound
+    hll = sketch_value_column(
+        build_sketch_grouped(t, "conv_id", ["day"], HllSketch.factory(_HLL_P)),
+        HllSketch, "est",
+    ).select("day", "est")
+    hll_bad = (
+        t.groupBy("day").agg(F.countDistinct("conv_id").alias("n"))
+        .join(hll, "day")
+        .filter(
+            F.abs(F.col("est") - F.col("n"))
+            > F.greatest(F.lit(_HLL_TOL) * F.col("n"), F.lit(3.0))
+        )
+        .count()
+    )
+
+    # tool-call frequency per day bucket: count-min within eps * N_day
+    cms_by_day = {
+        r["day"]: CmsSketch.loads(bytes(r["state"]))
+        for r in build_sketch_grouped(
+            tooled, "tool", ["day"], CmsSketch.factory(w=8192, d=5)
+        ).collect()
+    }
+    exact = tooled.groupBy("day", "tool").count().collect()
+    n_day = {}
+    for r in exact:
+        n_day[r["day"]] = n_day.get(r["day"], 0) + r["count"]
+    cms_bad = sum(
+        1
+        for r in exact
+        if not (
+            r["count"]
+            <= int(cms_by_day[r["day"]].query_keys([r["tool"]])[0])
+            <= r["count"] + cms_by_day[r["day"]].eps * n_day[r["day"]]
+        )
+    )
+
+    # turn-length quantiles per role: KLL median + t-digest p99 rank bounds
+    def _rank_bad(sketch_cls, factory, q, tol):
+        ests = {
+            r["role"]: sketch_cls.loads(bytes(r["state"])).quantile(q)
+            for r in build_sketch_grouped(t, "n_chars", ["role"], factory).collect()
+        }
+        est_map = F.create_map(*[F.lit(x) for kv in ests.items() for x in kv])
+        return (
+            t.withColumn("__est", est_map[F.col("role")])
+            .groupBy("role")
+            .agg(F.avg((F.col("n_chars") <= F.col("__est")).cast("double")).alias("rank"))
+            .filter(F.abs(F.col("rank") - F.lit(q)) > F.lit(tol))
+            .count()
+        )
+
+    kll_bad = _rank_bad(KllSketch, KllSketch.factory(200), 0.5, 3.0 / 200 + 0.005)
+    td_bad = _rank_bad(TDigestSketch, TDigestSketch.factory(200), 0.99, 0.01)
+
+    n_days = t.select("day").distinct().count()
+    n_roles = t.select("role").distinct().count()
+    n_tools = tooled.select("tool").distinct().count()
+    return spark.createDataFrame(
+        [(n_days, n_roles, n_tools, n_missed,
+          hll_bad == 0, cms_bad == 0, kll_bad == 0, td_bad == 0)],
+        "n_days bigint, n_roles bigint, n_tools bigint, n_missed bigint, "
+        "hll_in_bound boolean, cms_in_bound boolean, "
+        "kll_in_bound boolean, tdigest_in_bound boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # round-2 additions: sharded bloom, v1 distributed, intersection, OptLevel
 # cache paths, partial reads, ANN recall, dedup survivors, hot-bucket cap
@@ -899,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top1": q_cosine_top1,
         "bloom_grouped_membership": q_bloom_grouped_membership,
         "transcripts_sketches": q_transcripts_sketches,
+        "transcripts_rollup": q_transcripts_rollup,
         "transcripts_invariance": q_transcripts_invariance,
         "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
         "bloom_v1_distributed": q_bloom_v1_distributed,
@@ -1022,6 +1119,15 @@ FROM s""",
             "SELECT 0 AS n_missed, 4 AS n_roles, TRUE AS hll_within_bound"
         ),
         "transcripts_invariance": "SELECT TRUE AS stable",
+        # the transcripts table is generated in-session (not a registered
+        # DuckDB view), so the oracle pins the deterministic generator's
+        # group cardinalities and the expected in-bound verdicts
+        "transcripts_rollup": (
+            "SELECT CAST(61 AS BIGINT) AS n_days, CAST(4 AS BIGINT) AS n_roles, "
+            "CAST(30 AS BIGINT) AS n_tools, CAST(0 AS BIGINT) AS n_missed, "
+            "TRUE AS hll_in_bound, TRUE AS cms_in_bound, "
+            "TRUE AS kll_in_bound, TRUE AS tdigest_in_bound"
+        ),
         "sharded_bloom_semi_join": (
             "SELECT COUNT(*) AS n_keys, 0 AS n_missed, TRUE AS bytes_equal_single, "
             "TRUE AS single_exceeds_budget, TRUE AS shards_within_budget, "
