@@ -600,6 +600,34 @@ def q_transcripts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling + N-way split: the exact row set
+    is a pure function of md5(seed|key), so DuckDB reproduces it
+    bit-for-bit (no tolerance, no constants — a true value oracle).  This is
+    the retry/AQE/repartition-stable replacement for df.sample in resumable
+    corpus pipelines."""
+    from poppy_spark.spark.sampling import hash_sample, hash_split, stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    n_sampled = hash_sample(docs, "text", 0.2, seed=1).count()
+    n_strat = stratified_sample(
+        docs, "text", "lang", {"en": 0.5}, default_rate=0.05, seed=0
+    ).count()
+    split = hash_split(docs, "doc_id", [0.8, 0.1, 0.1], seed=2)
+    return (
+        split.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .withColumn("n_sampled", F.lit(n_sampled))
+        .withColumn("n_strat", F.lit(n_strat))
+        .select(
+            F.col("split").cast("int").alias("split"),
+            F.col("n"),
+            F.col("n_sampled").cast("bigint"),
+            F.col("n_strat").cast("bigint"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # round-2 additions: sharded bloom, v1 distributed, intersection, OptLevel
 # cache paths, partial reads, ANN recall, dedup survivors, hot-bucket cap
@@ -996,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_grouped_membership": q_bloom_grouped_membership,
         "transcripts_sketches": q_transcripts_sketches,
         "transcripts_rollup": q_transcripts_rollup,
+        "hash_sample_split": q_hash_sample_split,
         "transcripts_invariance": q_transcripts_invariance,
         "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
         "bloom_v1_distributed": q_bloom_v1_distributed,
@@ -1011,6 +1040,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_hc_membership": q_grouped_hc_membership,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
     }
+
+
+def _hash_sample_oracle_sql() -> str:
+    """DuckDB replica of q_hash_sample_split; thresholds come from the same
+    helper the Spark operators use, so the two sides cannot drift."""
+    from poppy_spark.spark.sampling import _thr_hex
+
+    t20, t50, t05 = _thr_hex(0.2), _thr_hex(0.5), _thr_hex(0.05)
+    b0, b1 = _thr_hex(0.8), _thr_hex(0.9)
+    return (
+        "WITH s AS (SELECT CASE "
+        f"WHEN substr(md5('seed2|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{b0}' THEN 0 "
+        f"WHEN substr(md5('seed2|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{b1}' THEN 1 "
+        "ELSE 2 END AS split FROM documents) "
+        "SELECT CAST(split AS INT) AS split, COUNT(*) AS n, "
+        "(SELECT COUNT(*) FROM documents "
+        f"WHERE substr(md5('seed1|' || text), 1, 8) < '{t20}') AS n_sampled, "
+        "(SELECT COUNT(*) FROM documents WHERE substr(md5('seed0|' || text), 1, 8) < "
+        f"CASE WHEN lang = 'en' THEN '{t50}' ELSE '{t05}' END) AS n_strat "
+        "FROM s GROUP BY split"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1128,6 +1178,9 @@ FROM s""",
             "TRUE AS hll_in_bound, TRUE AS cms_in_bound, "
             "TRUE AS kll_in_bound, TRUE AS tdigest_in_bound"
         ),
+        # exact value oracle: DuckDB's md5 over the same seeded key strings
+        # reproduces the sampled/split row sets bit-for-bit
+        "hash_sample_split": _hash_sample_oracle_sql(),
         "sharded_bloom_semi_join": (
             "SELECT COUNT(*) AS n_keys, 0 AS n_missed, TRUE AS bytes_equal_single, "
             "TRUE AS single_exceeds_budget, TRUE AS shards_within_budget, "

@@ -1,0 +1,97 @@
+"""Deterministic content-hash sampling and splits.
+
+``df.sample()`` is partition-order dependent: a task retry, AQE re-plan, or
+repartition resamples different rows, which breaks resumable pipelines and
+makes train/test splits irreproducible.  Everything here instead keys the
+decision on ``md5(seed | key)`` — a pure function of row CONTENT — so the
+same row lands on the same side of every threshold on every run, every
+cluster size, and every retry.  All JVM expressions (whole-stage codegen,
+no Python workers), and the md5-hex comparison is engine-portable: DuckDB /
+Trino / BigQuery replicate the exact row set, which is how the oracle rows
+verify these operators bit-for-bit.
+
+Scale notes: a narrow filter/withColumn — no shuffle, pushes through scans
+unchanged; skew-free because md5 output is uniform regardless of key
+distribution.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: 16^8 — the sampling decision uses the first 8 hex chars of the md5
+_SPACE = 1 << 32
+
+
+def _hex8(key: Column, seed: int) -> Column:
+    """First 8 hex chars of md5('seed{seed}|' || key) — uniform in [0, 2^32)."""
+    return F.substring(F.md5(F.concat(F.lit(f"seed{seed}|"), key.cast("string"))), 1, 8)
+
+
+def _thr_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * _SPACE), _SPACE - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by content hash of ``key_col``.
+
+    Rows with equal keys are kept or dropped together (sampling is by key,
+    which is usually what a dedup-aware corpus pipeline wants).  Exactly
+    reproducible in ANSI SQL::
+
+        WHERE substr(md5('seed0|' || key), 1, 8) < '<thr>'
+    """
+    return df.filter(_hex8(F.col(key_col), seed) < F.lit(_thr_hex(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group sampling rates (e.g. downsample boilerplate-heavy sources,
+    keep all rare-language docs): ``rates`` maps group value -> keep rate;
+    groups not listed use ``default_rate``."""
+    thr = F.lit(_thr_hex(default_rate))
+    for g, r in rates.items():
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(_thr_hex(r))).otherwise(thr)
+    return df.filter(_hex8(F.col(key_col), seed) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float],
+    seed: int = 0,
+    output_col: str = "split",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive N-way split (train/val/test).
+
+    Adds ``output_col`` = the 0-based split index.  Unlike
+    ``DataFrame.randomSplit`` the assignment is a pure function of the key:
+    stable across reruns, retries, and repartitioning, and rows sharing a
+    key always land in the same split (no train/test leakage through
+    duplicated documents)."""
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = _hex8(F.col(key_col), seed)
+    expr = F.lit(len(weights) - 1)
+    acc = 0.0
+    # chain from the last boundary down so the first matching when() wins
+    bounds = []
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(_thr_hex(acc))
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(h < F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+    return df.withColumn(output_col, expr)

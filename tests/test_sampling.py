@@ -1,0 +1,80 @@
+"""Deterministic content-hash sampling: stability, disjointness, rates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from poppy_spark.spark.sampling import (
+    _thr_hex,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document-text-"), F.col("id")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+    )
+
+
+class TestHashSample:
+    def test_rate_approximate_and_deterministic(self, docs):
+        a = hash_sample(docs, "text", 0.2, seed=1)
+        n = a.count()
+        assert 0.15 * 5000 <= n <= 0.25 * 5000
+        assert a.count() == n  # recompute: same rows
+        ids = {r[0] for r in a.select("doc_id").collect()}
+        # invariant under physical layout: repartition resamples NOTHING
+        b = hash_sample(docs.repartition(13, "lang"), "text", 0.2, seed=1)
+        assert {r[0] for r in b.select("doc_id").collect()} == ids
+
+    def test_seed_changes_selection(self, docs):
+        a = {r[0] for r in hash_sample(docs, "text", 0.2, seed=1).select("doc_id").collect()}
+        b = {r[0] for r in hash_sample(docs, "text", 0.2, seed=2).select("doc_id").collect()}
+        assert a != b
+        assert len(a & b) < len(a)  # independent-ish
+
+    def test_rate_bounds(self, docs):
+        assert hash_sample(docs, "text", 0.0).count() == 0
+        assert hash_sample(docs, "text", 1.0).count() == 5000
+        with pytest.raises(ValueError):
+            _thr_hex(1.5)
+
+
+class TestStratified:
+    def test_per_group_rates(self, docs):
+        out = stratified_sample(
+            docs, "text", "lang", {"en": 1.0, "fr": 0.1}, seed=3
+        )
+        by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        n_en = docs.filter(F.col("lang") == "en").count()
+        n_fr = docs.filter(F.col("lang") == "fr").count()
+        assert by["en"] == n_en  # rate 1.0 keeps everything
+        assert 0.05 * n_fr <= by.get("fr", 0) <= 0.16 * n_fr
+
+    def test_default_rate_zero_drops_unlisted(self, docs):
+        out = stratified_sample(docs, "text", "lang", {"en": 0.5}, seed=3)
+        assert out.filter(F.col("lang") == "fr").count() == 0
+
+
+class TestHashSplit:
+    def test_disjoint_exhaustive_stable(self, docs):
+        out = hash_split(docs, "doc_id", [0.8, 0.1, 0.1], seed=4)
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 5000  # exhaustive
+        assert set(counts) == {0, 1, 2}
+        assert counts[0] > counts[1] and counts[0] > counts[2]
+        assert 0.7 * 5000 <= counts[0] <= 0.9 * 5000
+        # same key -> same split, independent of which frame it sits in
+        again = hash_split(docs.repartition(7), "doc_id", [0.8, 0.1, 0.1], seed=4)
+        joined = out.alias("a").join(again.alias("b"), "doc_id").filter(
+            F.col("a.split") != F.col("b.split")
+        )
+        assert joined.count() == 0
+
+    def test_weights_validation(self, docs):
+        with pytest.raises(ValueError):
+            hash_split(docs, "doc_id", [0.0, 0.0])
