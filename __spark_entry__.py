@@ -600,6 +600,46 @@ def q_transcripts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set-operation algebra: distinct-user INTERSECTION between
+    every event-type pair — the query HLL cannot answer.  One grouped build
+    (states stay distributed until the per-group collect of <=32 KB each);
+    pairwise intersections come from the trimmed KMV samples.  Below k
+    distinct values the sketch is exact, so the driver-scale oracle is a
+    true value match; the estimation-mode error bound is pinned by pytest
+    (tests/test_theta.py) at 200k distinct keys."""
+    from poppy_spark.sketches import ThetaSketch
+    from poppy_spark.spark.agg import build_sketch_grouped
+
+    events = _read(spark, sf_dir, "events")
+    sks = {
+        r["event_type"]: ThetaSketch.loads(bytes(r["state"]))
+        for r in build_sketch_grouped(
+            events, "user_id", ["event_type"], ThetaSketch.factory(4096)
+        ).collect()
+    }
+    du = events.select("event_type", "user_id").distinct()
+    exact = {
+        (r["ta"], r["tb"]): r["n"]
+        for r in du.alias("a")
+        .join(du.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = []
+    for (ta, tb), n in sorted(exact.items()):
+        est = sks[ta].intersection(sks[tb])
+        tol = max(6 * sks[ta].relative_error() * n, 3.0)
+        rows.append((ta, tb, n, abs(est - n) <= tol))
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, n_inter_exact bigint, inter_in_bound boolean"
+    )
+
+
 def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling + N-way split: the exact row set
     is a pure function of md5(seed|key), so DuckDB reproduces it
@@ -1025,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_sketches": q_transcripts_sketches,
         "transcripts_rollup": q_transcripts_rollup,
         "hash_sample_split": q_hash_sample_split,
+        "theta_user_overlap": q_theta_user_overlap,
         "transcripts_invariance": q_transcripts_invariance,
         "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
         "bloom_v1_distributed": q_bloom_v1_distributed,
@@ -1181,6 +1222,14 @@ FROM s""",
         # exact value oracle: DuckDB's md5 over the same seeded key strings
         # reproduces the sampled/split row sets bit-for-bit
         "hash_sample_split": _hash_sample_oracle_sql(),
+        "theta_user_overlap": (
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "COUNT(DISTINCT a.user_id) AS n_inter_exact, TRUE AS inter_in_bound "
+            "FROM (SELECT DISTINCT event_type, user_id FROM events) a "
+            "JOIN (SELECT DISTINCT event_type, user_id FROM events) b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY a.event_type, b.event_type"
+        ),
         "sharded_bloom_semi_join": (
             "SELECT COUNT(*) AS n_keys, 0 AS n_missed, TRUE AS bytes_equal_single, "
             "TRUE AS single_exceeds_budget, TRUE AS shards_within_budget, "

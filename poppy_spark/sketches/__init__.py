@@ -1,5 +1,5 @@
 """Mergeable sketch family (Bloom, HLL, count-min, KLL,
-t-digest, MinHash, Misra-Gries top-k).
+t-digest, MinHash, Misra-Gries top-k, theta/KMV).
 
 All follow the update/merge/result contract proven by poppy's Bloom union
 (fixed-size state, elementwise update, commutative+associative merge) so each
@@ -14,11 +14,12 @@ from .hll import HllSketch
 from .kll import KllSketch
 from .minhash import MinHashSketch
 from .tdigest import TDigestSketch
+from .theta import ThetaSketch
 from .topk import TopKSketch
 
 SKETCH_KINDS = {
     cls.kind: cls
-    for cls in (BloomSketch, HllSketch, CmsSketch, KllSketch, TDigestSketch, MinHashSketch, TopKSketch)
+    for cls in (BloomSketch, HllSketch, CmsSketch, KllSketch, TDigestSketch, MinHashSketch, TopKSketch, ThetaSketch)
 }
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "KllSketch",
     "MinHashSketch",
     "TDigestSketch",
+    "ThetaSketch",
     "TopKSketch",
     "SKETCH_KINDS",
 ]
