@@ -600,6 +600,37 @@ def q_transcripts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: Bloom over the eval set's hashed word
+    5-grams, broadcast-probed by every training doc's n-gram stream.  The
+    oracle recomputes the exactly-contaminated set in DuckDB via string
+    shingles; the gate asserts the Bloom path flags a superset (zero FN —
+    poppy's guarantee) with overflagging bounded by the configured fpp."""
+    from poppy_spark.spark.decontam import contamination_flags
+    from poppy_spark.spark.dedup import shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    flags = contamination_flags(tr, ev, "text", "doc_id", k=5, fpp=1e-6)
+    flagged = flags.filter("contaminated").select(F.col("doc_id").alias("id"))
+
+    evs = shingles(ev, "text", "doc_id", 5).select("shingle").distinct()
+    exact_ids = (
+        shingles(tr, "text", "doc_id", 5).join(evs, "shingle").select("id").distinct()
+    )
+    n_exact = exact_ids.count()
+    n_fn = exact_ids.join(flagged, "id", "left_anti").count()
+    n_flagged = flagged.count()
+    # expected FPs ~ n_train_shingles * fpp ~ 0; allow a couple
+    overflag_ok = (n_flagged - n_exact) <= 2
+    return spark.createDataFrame(
+        [(tr.count(), ev.count(), n_exact, n_fn == 0, overflag_ok)],
+        "n_train bigint, n_eval bigint, n_contaminated_exact bigint, "
+        "no_false_negatives boolean, overflag_within_bound boolean",
+    )
+
+
 def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation algebra: distinct-user INTERSECTION between
     every event-type pair — the query HLL cannot answer.  One grouped build
@@ -1066,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_rollup": q_transcripts_rollup,
         "hash_sample_split": q_hash_sample_split,
         "theta_user_overlap": q_theta_user_overlap,
+        "decontaminate_eval": q_decontaminate_eval,
         "transcripts_invariance": q_transcripts_invariance,
         "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
         "bloom_v1_distributed": q_bloom_v1_distributed,
@@ -1222,6 +1254,22 @@ FROM s""",
         # exact value oracle: DuckDB's md5 over the same seeded key strings
         # reproduces the sampled/split row sets bit-for-bit
         "hash_sample_split": _hash_sample_oracle_sql(),
+        # real n-gram oracle: DuckDB recomputes the exactly-contaminated
+        # doc set from word 5-gram shingles (same normalization: lowercase,
+        # split on \s+, drop empties)
+        "decontaminate_eval": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            r"'\s+'), x -> x <> '') AS w FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+            "greatest(len(w)-4, 1)), i -> array_to_string(w[i:i+4], ' '))) AS g FROM w), "
+            "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0), "
+            "cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (g) "
+            "WHERE s.doc_id % 7 <> 0) "
+            "SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0) AS n_train, "
+            "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
+            "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
+            "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+        ),
         "theta_user_overlap": (
             "SELECT a.event_type AS type_a, b.event_type AS type_b, "
             "COUNT(DISTINCT a.user_id) AS n_inter_exact, TRUE AS inter_in_bound "
