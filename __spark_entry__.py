@@ -600,6 +600,41 @@ def q_transcripts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over documents: every doc assigned to
+    exactly one pack, no non-overflow pack exceeding the budget, pack count
+    within the greedy bound, and the assignment invariant under input
+    repartitioning (content-determined, the resumability property)."""
+    import math
+
+    from poppy_spark.spark.packing import pack_sequences, pack_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    budget, n_buckets = 2048, 8
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget, n_buckets=n_buckets)
+    stats = pack_stats(packed, "n_chars").collect()
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("tot"), F.max("n_chars").alias("mx")
+    ).collect()[0]
+    n_docs, total, max_len = agg["n"], agg["tot"], agg["mx"]
+    all_assigned = (
+        packed.count() == n_docs
+        and packed.select("doc_id").distinct().count() == n_docs
+    )
+    budget_ok = all(r["n_tokens"] <= budget for r in stats if not r["overflow"])
+    n_packs = len(stats)
+    packs_bound_ok = n_packs <= math.ceil(total / max(budget - max_len, 1)) + n_buckets
+    relayout = pack_sequences(
+        docs.repartition(17), "doc_id", "n_chars", budget, n_buckets=n_buckets
+    )
+    stable = packed.exceptAll(relayout).count() + relayout.exceptAll(packed).count() == 0
+    return spark.createDataFrame(
+        [(n_docs, int(total), all_assigned, budget_ok, packs_bound_ok, stable)],
+        "n_docs bigint, total_tokens bigint, all_assigned boolean, "
+        "budget_ok boolean, packs_within_bound boolean, layout_invariant boolean",
+    )
+
+
 def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: Bloom over the eval set's hashed word
     5-grams, broadcast-probed by every training doc's n-gram stream.  The
@@ -1098,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_split": q_hash_sample_split,
         "theta_user_overlap": q_theta_user_overlap,
         "decontaminate_eval": q_decontaminate_eval,
+        "pack_sequences": q_pack_sequences,
         "transcripts_invariance": q_transcripts_invariance,
         "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
         "bloom_v1_distributed": q_bloom_v1_distributed,
@@ -1254,6 +1290,11 @@ FROM s""",
         # exact value oracle: DuckDB's md5 over the same seeded key strings
         # reproduces the sampled/split row sets bit-for-bit
         "hash_sample_split": _hash_sample_oracle_sql(),
+        "pack_sequences": (
+            "SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_tokens, "
+            "TRUE AS all_assigned, TRUE AS budget_ok, "
+            "TRUE AS packs_within_bound, TRUE AS layout_invariant FROM documents"
+        ),
         # real n-gram oracle: DuckDB recomputes the exactly-contaminated
         # doc set from word 5-gram shingles (same normalization: lowercase,
         # split on \s+, drop empties)
