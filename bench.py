@@ -175,6 +175,32 @@ def main() -> None:
         ).count()
 
     bench("corpus_pipeline", corpus_pipeline)
+
+    from poppy_spark.sketches import ThetaSketch
+    from poppy_spark.spark.decontam import contamination_flags
+    from poppy_spark.spark.packing import pack_sequences
+
+    bench(
+        "theta_grouped",
+        lambda: build_sketch_grouped(
+            events, "user_id", ["event_type"], ThetaSketch.factory(4096)
+        ).count(),
+    )
+
+    ev_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    tr_docs = docs.filter(F.col("doc_id") % 7 != 0)
+    bench(
+        "decontam_docs",
+        lambda: contamination_flags(tr_docs, ev_docs, "text", "doc_id", k=5)
+        .filter("contaminated")
+        .count(),
+    )
+
+    bench(
+        "pack_docs",
+        lambda: pack_sequences(docs, "doc_id", "n_chars", 2048, n_buckets=64).count(),
+    )
+
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)

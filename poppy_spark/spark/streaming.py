@@ -144,3 +144,59 @@ def merge_grouped_states(
         return head
 
     return spark_df.groupBy(*group_cols).applyInPandas(merge, spark_df.schema)
+
+
+def stateful_grouped_sketch(
+    stream_df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    factory: Callable[[], Sketch],
+    estimate_type: str = "bigint",
+) -> DataFrame:
+    """Native Structured Streaming stateful operator: one persistent sketch
+    per group held in the STATE STORE across micro-batches via
+    ``applyInPandasWithState`` — no external state files, exactly-once
+    through the checkpoint, emitting ``(group..., estimate, n_rows)`` in
+    update mode after every trigger.
+
+    This is the "custom stateful operator" shape for sketches whose result
+    must be queryable continuously (the foreachBatch sinks above instead
+    persist mergeable states for read-side merging).  State per group is one
+    serialized sketch (KBs–MBs), so cardinality × state size must fit the
+    state store — for huge single filters use :class:`ShardedBloomStream`.
+
+    The value column is hashed as-is by the sketch's Python kernel (the
+    JVM-prehash fast path is a batch-aggregation optimization); pre-hash
+    integers to strings or ``xxhash64`` upstream if key canonicalization
+    matters for cross-filter compatibility.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sketch_cls = type(factory())
+    by_name = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    out_schema = ", ".join(
+        [f"{g} {by_name[g]}" for g in group_cols]
+        + [f"estimate {estimate_type}", "n_rows bigint"]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            raw, n = state.get
+            sk = sketch_cls.loads(bytes(raw))
+        else:
+            sk, n = factory(), 0
+        for pdf in pdfs:
+            sk.update_arrow(pa.array(pdf[col]))
+            n += len(pdf)
+        state.update((sk.dumps(), int(n)))
+        yield pd.DataFrame(
+            [(*key, sk.result(), int(n))],
+            columns=[*group_cols, "estimate", "n_rows"],
+        )
+
+    return stream_df.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, "state binary, n bigint", "update",
+        GroupStateTimeout.NoTimeout,
+    )
