@@ -43,22 +43,37 @@ def pack_sequences(
 
     Every row is assigned exactly one pack; the sum of ``len_col`` within a
     pack is <= ``budget`` unless the pack is a single ``overflow`` row.
+
+    Only ``(id, len)`` tuples cross the Python boundary (see
+    :func:`pack_assignments`); the document payload joins the assignment
+    back JVM-side — at 100 TB the text never rides through Arrow.
+    """
+    asg = pack_assignments(df, id_col, len_col, budget, n_buckets=n_buckets)
+    return df.join(asg, id_col)
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """``(id, pack_id, overflow)`` — the packing decision alone.
+
+    The shuffle and the Arrow crossing carry ~16 bytes/row regardless of
+    document size; callers with wide rows join this back (what
+    :func:`pack_sequences` does) or write it as a manifest.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
 
-    from pyspark.sql import types as T
-
-    cols = list(df.columns)
-    # fresh StructType: StructType.add MUTATES the DataFrame's cached schema
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("pack_id", T.LongType()),
-            T.StructField("overflow", T.BooleanType()),
-        ]
+    proj = df.select(id_col, len_col)
+    out_schema = (
+        f"{id_col} {proj.schema[id_col].dataType.simpleString()}, "
+        "pack_id long, overflow boolean"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -86,10 +101,10 @@ def pack_sequences(
             filled += ln
         pdf["pack_id"] = pack_ids
         pdf["overflow"] = overflow
-        return pdf[cols + ["pack_id", "overflow"]]
+        return pdf[[id_col, "pack_id", "overflow"]]
 
     return (
-        df.withColumn(
+        proj.withColumn(
             "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
         )
         .groupBy("__bucket")
