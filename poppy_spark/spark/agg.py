@@ -517,3 +517,59 @@ def sketch_value_column(
         return pd.Series([sketch_cls.loads(bytes(s)).result() for s in states])
 
     return states_df.withColumn(value_name, finalize(F.col("state")))
+
+
+def sketch_pairwise(
+    states_df: DataFrame,
+    sketch_cls: type[Sketch],
+    value_fn,
+    group_col: str,
+    value_name: str = "estimate",
+    value_type: str = "double",
+    max_groups: int = 2000,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise sketch comparisons between groups, distributed.
+
+    ``(group_a, group_b, <value_name>)`` for every unordered group pair,
+    with ``value_fn(sk_a, sk_b) -> float`` (e.g. ``ThetaSketch.
+    intersection`` / ``.jaccard``, MinHash signature similarity) evaluated
+    in an Arrow-batched pandas UDF — the overlap matrix never funnels
+    through the driver.
+
+    The self-join is quadratic in groups, so it refuses past ``max_groups``
+    (raise it deliberately, or pass an explicit ``pairs`` DataFrame
+    ``(group_a, group_b)`` — e.g. LSH-bucketed candidates — to bound the
+    comparisons yourself, which is the 10^5-groups shape).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    a = states_df.select(
+        F.col(group_col).alias("group_a"), F.col("state").alias("__sa")
+    )
+    b = states_df.select(
+        F.col(group_col).alias("group_b"), F.col("state").alias("__sb")
+    )
+    if pairs is None:
+        n = states_df.count()
+        if n > max_groups:
+            raise ValueError(
+                f"{n} groups would make {n * (n - 1) // 2} pairs; pass an "
+                "explicit candidate-pairs DataFrame (or raise max_groups)"
+            )
+        joined = a.join(b, F.col("group_a") < F.col("group_b"))
+    else:
+        joined = pairs.join(a, "group_a").join(b, "group_b")
+
+    @pandas_udf(value_type)
+    def compare(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                value_fn(sketch_cls.loads(bytes(x)), sketch_cls.loads(bytes(y)))
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return joined.select(
+        "group_a", "group_b", compare(F.col("__sa"), F.col("__sb")).alias(value_name)
+    )

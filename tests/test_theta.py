@@ -111,3 +111,52 @@ class TestSpark:
         # partition-order invariance: rebuild over a different layout
         sk2 = build_sketch(df.repartition(5), "key", ThetaSketch.factory(2048))
         assert sk.dumps() == sk2.dumps()
+
+
+class TestPairwise:
+    def test_distributed_overlap_matrix(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.agg import build_sketch_grouped, sketch_pairwise
+
+        # 4 groups over overlapping integer ranges
+        df = spark.range(40_000).select(
+            (F.col("id") % 4).cast("string").alias("grp"),
+            F.concat(F.lit("k"), (F.col("id") / 2).cast("long")).alias("key"),
+        )
+        states = build_sketch_grouped(df, "key", ["grp"], ThetaSketch.factory(4096))
+        mat = sketch_pairwise(
+            states,
+            ThetaSketch,
+            lambda a, b: a.intersection(b),
+            "grp",
+            value_name="n_common",
+        ).collect()
+        got = {(r["group_a"], r["group_b"]): r["n_common"] for r in mat}
+        assert len(got) == 6
+        # groups 0/1 share every other key-pair: ids 2j and 2j+1 collapse to
+        # the same key, and consecutive ids alternate groups -> overlap 10k
+        assert got[("0", "1")] == pytest.approx(10_000, rel=0.15)
+        assert got[("0", "2")] == pytest.approx(0, abs=200)
+
+    def test_pairwise_guard_and_explicit_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.agg import build_sketch_grouped, sketch_pairwise
+
+        df = spark.range(2_000).select(
+            (F.col("id") % 40).cast("string").alias("grp"),
+            F.col("id").cast("string").alias("key"),
+        )
+        states = build_sketch_grouped(df, "key", ["grp"], ThetaSketch.factory(256))
+        with pytest.raises(ValueError):
+            sketch_pairwise(
+                states, ThetaSketch, lambda a, b: a.jaccard(b), "grp", max_groups=10
+            )
+        pairs = spark.createDataFrame(
+            [("0", "1"), ("2", "3")], "group_a string, group_b string"
+        )
+        out = sketch_pairwise(
+            states, ThetaSketch, lambda a, b: a.jaccard(b), "grp", pairs=pairs
+        ).collect()
+        assert len(out) == 2  # only the requested candidates compared
