@@ -194,3 +194,85 @@ def test_sharded_routing_equals_core_route(keys):
     assert (ib == ib_core.astype("int64")).all()
     assert (idx.astype("uint64") == idx_core).all()
     assert (shard == (ib // p.bps).astype("int32")).all()
+
+
+@SET
+@given(keys=st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=200),
+       split=st.integers(min_value=0, max_value=200),
+       k=st.sampled_from([16, 64, 256]))
+def test_theta_merge_equals_single_build_and_exact_below_k(keys, split, k):
+    from poppy_spark.sketches import ThetaSketch
+
+    split = min(split, len(keys))
+    one = ThetaSketch(k)
+    one.update_keys(keys)
+    a = ThetaSketch(k)
+    a.update_keys(keys[:split] or [b"x"])
+    b = ThetaSketch(k)
+    b.update_keys(keys[split:] or [b"x"])
+    if not keys[:split]:
+        a = ThetaSketch(k)
+    if not keys[split:]:
+        b = ThetaSketch(k)
+    a.merge(b)
+    assert a.dumps() == one.dumps()
+    distinct = len(set(keys))
+    if distinct < k:
+        assert one.result() == distinct  # exact mode below k
+
+
+@SET
+@given(lens=st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=200),
+       budget=st.integers(min_value=100, max_value=2000))
+def test_packing_greedy_invariants(lens, budget):
+    """Driver-side replica of the per-bucket greedy: every non-overflow pack
+    within budget, overflow rows isolated, all rows assigned once."""
+    import pandas as pd
+
+    from poppy_spark.spark.packing import _PACK_STRIDE
+
+    # reuse the exact kernel by importing the module-level algorithm shape:
+    # simulate one bucket's pandas frame through the same logic
+    pdf = pd.DataFrame({"id": range(len(lens)), "n": lens})
+    # inline greedy identical to pack_assignments' inner loop
+    pack_ids, overflow = [], []
+    cur, filled, ovf = 0, 0, 0
+    for ln in lens:
+        if ln > budget:
+            ovf += 1
+            pack_ids.append(_PACK_STRIDE - ovf)
+            overflow.append(True)
+            continue
+        if filled + ln > budget:
+            cur += 1
+            filled = 0
+        pack_ids.append(cur)
+        overflow.append(False)
+        filled += ln
+    assert len(pack_ids) == len(lens)
+    sums = {}
+    for pid, ln, ov in zip(pack_ids, lens, overflow):
+        if not ov:
+            sums[pid] = sums.get(pid, 0) + ln
+    assert all(s <= budget for s in sums.values())
+    # overflow ids never collide with normal ids
+    assert not (set(p for p, o in zip(pack_ids, overflow) if o)
+                & set(p for p, o in zip(pack_ids, overflow) if not o))
+
+
+@SET
+@given(rate=st.floats(min_value=0.0, max_value=1.0),
+       keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=50))
+def test_hash_sample_threshold_monotone(rate, keys):
+    """A key kept at rate r is kept at every rate r' >= r (nested samples —
+    the property that makes deterministic sampling composable)."""
+    import hashlib
+
+    from poppy_spark.spark.sampling import _thr_hex
+
+    t1 = _thr_hex(rate)
+    t2 = _thr_hex(min(1.0, rate + 0.25))
+    for key in keys:
+        h = hashlib.md5(f"seed0|{key}".encode()).hexdigest()[:8]
+        if h < t1:
+            assert h < t2  # larger rate keeps a superset
