@@ -666,6 +666,17 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k (KMV) sample of distinct document texts —
+    Spark computes it as a distributed TakeOrderedAndProject over
+    md5(seed|key); DuckDB reproduces the exact same k rows (true value
+    oracle, layout/cluster-size invariant)."""
+    from poppy_spark.spark.sampling import bottom_k_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return bottom_k_sample(docs, "text", 25, seed=3)
+
+
 def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation algebra: distinct-user INTERSECTION between
     every event-type pair — the query HLL cannot answer.  One grouped build
@@ -1132,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_rollup": q_transcripts_rollup,
         "hash_sample_split": q_hash_sample_split,
         "theta_user_overlap": q_theta_user_overlap,
+        "bottom_k_sample": q_bottom_k_sample,
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
         "transcripts_invariance": q_transcripts_invariance,
@@ -1310,6 +1322,10 @@ FROM s""",
             "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
             "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
             "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+        ),
+        "bottom_k_sample": (
+            "SELECT key FROM (SELECT DISTINCT text AS key FROM documents) "
+            "ORDER BY substr(md5('seed3|' || key), 1, 8), key LIMIT 25"
         ),
         "theta_user_overlap": (
             "SELECT a.event_type AS type_a, b.event_type AS type_b, "

@@ -95,3 +95,29 @@ def hash_split(
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(h < F.lit(bounds[i]), F.lit(i)).otherwise(expr)
     return df.withColumn(output_col, expr)
+
+
+def bottom_k_sample(
+    df: DataFrame, key_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` DISTINCT keys: the k smallest
+    ``md5(seed|key)`` values.
+
+    This is a bottom-k / KMV sample — mergeable by construction (the bottom
+    k of a union is the bottom k of the parts' bottom k's), so Spark's
+    distributed ``orderBy().limit()`` (TakeOrderedAndProject: per-partition
+    top-k, then a k-row merge on the driver — no full sort, no full
+    shuffle) computes it exactly.  Content-determined like everything in
+    this module: stable across reruns, layouts, and cluster sizes, and
+    reproducible in ANSI SQL (``ORDER BY md5(...) LIMIT k``).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("__h", _hex8(F.col("key"), seed))
+        .orderBy("__h", "key")
+        .limit(k)
+        .select("key")
+    )

@@ -78,3 +78,39 @@ class TestHashSplit:
     def test_weights_validation(self, docs):
         with pytest.raises(ValueError):
             hash_split(docs, "doc_id", [0.0, 0.0])
+
+
+class TestBottomK:
+    def test_deterministic_and_uniformish(self, docs, spark):
+        from poppy_spark.spark.sampling import bottom_k_sample
+
+        a = {r["key"] for r in bottom_k_sample(docs, "text", 100, seed=5).collect()}
+        b = {
+            r["key"]
+            for r in bottom_k_sample(docs.repartition(11), "text", 100, seed=5).collect()
+        }
+        assert len(a) == 100
+        assert a == b  # layout-invariant
+        # mergeable: bottom-k of two halves' bottom-k == global bottom-k
+        lo = docs.filter("doc_id < 2500")
+        hi = docs.filter("doc_id >= 2500")
+        part = bottom_k_sample(
+            bottom_k_sample(lo, "text", 100, seed=5).unionAll(
+                bottom_k_sample(hi, "text", 100, seed=5)
+            ),
+            "key", 100, seed=5,
+        )
+        assert {r["key"] for r in part.collect()} == a
+
+    def test_duplicates_collapse(self, spark):
+        from poppy_spark.spark.sampling import bottom_k_sample
+
+        df = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "key string")
+        out = bottom_k_sample(df, "key", 10)
+        assert sorted(r["key"] for r in out.collect()) == ["x", "y"]
+
+    def test_k_validation(self, docs):
+        from poppy_spark.spark.sampling import bottom_k_sample
+
+        with pytest.raises(ValueError):
+            bottom_k_sample(docs, "text", 0)
