@@ -666,6 +666,23 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering (connected components by min-label
+    propagation) over a deterministic chain edge list: consecutive doc_ids
+    linked within blocks of 10 — diameter-9 chains, so the answer REQUIRES
+    transitive closure (pair-local logic gets it wrong), and DuckDB
+    reproduces the exact (id, component) assignment."""
+    from poppy_spark.spark.dedup import duplicate_components
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        docs.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .filter(F.pmod(F.col("id_a"), F.lit(10)) < 9)
+        .join(docs.withColumnRenamed("doc_id", "id_b"), "id_b")
+    )
+    return duplicate_components(edges).orderBy("id")
+
+
 def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k (KMV) sample of distinct document texts —
     Spark computes it as a distributed TakeOrderedAndProject over
@@ -1144,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_split": q_hash_sample_split,
         "theta_user_overlap": q_theta_user_overlap,
         "bottom_k_sample": q_bottom_k_sample,
+        "duplicate_components": q_duplicate_components,
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
         "transcripts_invariance": q_transcripts_invariance,
@@ -1322,6 +1340,17 @@ FROM s""",
             "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
             "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
             "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+        ),
+        # exact CC oracle: vertices of the chain edge list get component =
+        # min id of their block (both chain endpoints are vertices)
+        "duplicate_components": (
+            "WITH v AS (SELECT DISTINCT doc_id AS id FROM ("
+            "  SELECT a.doc_id FROM documents a JOIN documents b "
+            "    ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 < 9 "
+            "  UNION ALL "
+            "  SELECT b.doc_id FROM documents a JOIN documents b "
+            "    ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 < 9) t(doc_id)) "
+            "SELECT id, (id - (id % 10)) AS component FROM v ORDER BY id"
         ),
         "bottom_k_sample": (
             "SELECT key FROM (SELECT DISTINCT text AS key FROM documents) "

@@ -370,3 +370,79 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# connected components — transitive duplicate clusters
+# --------------------------------------------------------------------------
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(id, component)`` — connected components over a duplicate-pair
+    edge list, so survivor selection respects TRANSITIVE duplication
+    (a~b, b~c puts a, b, c in one cluster even when a~c was never tested —
+    the standard fix for pair-local dedup dropping chain members
+    inconsistently).
+
+    Min-label propagation: every vertex repeatedly adopts the smallest
+    label among itself and its neighbors; converges in O(cluster diameter)
+    rounds (near-dup clusters are shallow — LSH links most members
+    directly), each round one shuffle join + one aggregation, with
+    ``localCheckpoint`` every few rounds to stop lineage/plan growth.
+    Deterministic: labels are ids, min is order-free.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for it in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if it % 4 == 3:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def drop_transitive_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one survivor (the smallest id — the component label itself) per
+    transitive duplicate cluster; rows in no pair pass through untouched."""
+    comp = duplicate_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

@@ -323,3 +323,45 @@ class TestHotBucketCap:
         pairs = simhash_near_pairs(normal.unionAll(dup), "text", "doc_id", max_hamming=3, max_bucket_size=64)
         found = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
         assert found == 100
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_component(self, spark):
+        from poppy_spark.spark.dedup import duplicate_components
+
+        # chain 1-2-3-4-5 plus separate pair 10-11 plus triangle 20-21-22
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a bigint, id_b bigint",
+        )
+        comp = {r["id"]: r["component"] for r in duplicate_components(pairs).collect()}
+        assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+        assert {comp[i] for i in (10, 11)} == {10}
+        assert {comp[i] for i in (20, 21, 22)} == {20}
+
+    def test_long_chain_converges(self, spark):
+        from poppy_spark.spark.dedup import duplicate_components
+
+        n = 40  # diameter 40 chain: exercises multi-round propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+        )
+        comp = duplicate_components(pairs, max_iter=50).collect()
+        assert {r["component"] for r in comp} == {0}
+        assert len(comp) == n + 1
+
+    def test_drop_transitive_survivors(self, spark):
+        from poppy_spark.spark.dedup import drop_transitive_duplicates
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "doc_id bigint, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+        )
+        kept = {
+            r["doc_id"]
+            for r in drop_transitive_duplicates(df, pairs, "doc_id").collect()
+        }
+        # 2,3 fall to survivor 1; 6 falls to survivor 5; untouched rows pass
+        assert kept == {0, 1, 4, 5, 7}
