@@ -666,6 +666,25 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h gap) of the events stream per user,
+    rolled up to per-session stats — closed-form window expressions, so
+    DuckDB reproduces every (user, session, count, bounds) row exactly."""
+    from poppy_spark.spark.sessions import session_stats, sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _read(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_seconds=3600)
+    return session_stats(s, "user_id", "ts").select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        "t_start",
+        "t_end",
+        F.col("duration_sec").cast("bigint").alias("duration_sec"),
+    )
+
+
 def q_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clustering (connected components by min-label
     propagation) over a deterministic chain edge list: consecutive doc_ids
@@ -1162,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_user_overlap": q_theta_user_overlap,
         "bottom_k_sample": q_bottom_k_sample,
         "duplicate_components": q_duplicate_components,
+        "sessionize_events": q_sessionize_events,
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
         "transcripts_invariance": q_transcripts_invariance,
@@ -1340,6 +1360,17 @@ FROM s""",
             "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
             "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
             "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+        ),
+        "sessionize_events": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+            "epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS session_id FROM g) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end, "
+            "CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) "
+            "AS duration_sec FROM s GROUP BY user_id, session_id"
         ),
         # exact CC oracle: vertices of the chain edge list get component =
         # min id of their block (both chain endpoints are vertices)
