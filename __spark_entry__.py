@@ -666,6 +666,25 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-sort-carry, ONE shuffle, no join operator): every
+    click event picks up the user's most recent purchase value at or before
+    it.  DuckDB's native ASOF LEFT JOIN is the oracle — exact row match."""
+    from poppy_spark.spark.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _read(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purchases, "user_id", "ts", ["value"]).select(
+        "event_id", "user_id", "ts", F.col("value_asof").alias("purchase_value_asof")
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h gap) of the events stream per user,
     rolled up to per-session stats — closed-form window expressions, so
@@ -1182,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottom_k_sample": q_bottom_k_sample,
         "duplicate_components": q_duplicate_components,
         "sessionize_events": q_sessionize_events,
+        "asof_join_events": q_asof_join_events,
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
         "transcripts_invariance": q_transcripts_invariance,
@@ -1360,6 +1380,12 @@ FROM s""",
             "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
             "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
             "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+        ),
+        "asof_join_events": (
+            "SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value_asof "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "sessionize_events": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
