@@ -685,6 +685,29 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucket explode + equi-join (SortMergeJoin, no
+    nested loop): clicks landing inside each user's 30-minute post-purchase
+    window.  DuckDB computes the same pairs with a plain inequality join —
+    exact row oracle."""
+    from poppy_spark.spark.asof import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _read(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return interval_join(
+        clicks, windows, "ts", "t_start", "t_end", 1800, key_col="user_id"
+    ).select("event_id", "user_id", "ts", "purchase_id")
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h gap) of the events stream per user,
     rolled up to per-session stats — closed-form window expressions, so
@@ -1202,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_components": q_duplicate_components,
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
+        "interval_join_events": q_interval_join_events,
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
         "transcripts_invariance": q_transcripts_invariance,
@@ -1380,6 +1404,13 @@ FROM s""",
             "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
             "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
             "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+        ),
+        "interval_join_events": (
+            "SELECT l.event_id, l.user_id, l.ts, r.event_id AS purchase_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "AND l.ts <= r.ts + INTERVAL 30 MINUTE"
         ),
         "asof_join_events": (
             "SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value_asof "

@@ -85,3 +85,45 @@ def asof_join(
             *[F.col(f"__f_{n}").alias(n) for n in out_names],
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Range join: each point row paired with every interval containing it
+    (``start <= ts <= end``), optionally also matching on ``key_col``.
+
+    Spark turns a raw inequality join into a broadcast nested loop (or a
+    full cartesian when neither side fits) — quadratic and undistributable.
+    This instead EXPLODES each interval to the fixed-width time buckets it
+    spans and equi-joins on ``(bucket [, key])``: both sides shuffle by
+    hashable keys, Catalyst plans an ordinary SortMergeJoin/shuffled hash
+    join, and the containment predicate filters within matched buckets.
+    Each point lives in exactly one bucket, so no pair is produced twice.
+
+    Pick ``bucket_seconds`` near the typical interval length: replication
+    factor per interval is ``len/bucket + 1`` (logged cost driver), while
+    buckets much larger than intervals put many non-matching candidates in
+    one bucket.  Both extremes stay correct — this is a pure efficiency
+    knob, the standard time-binning range-join strategy.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    us = 1_000_000 * bucket_seconds
+    p_bucket = (F.unix_micros(F.col(ts_col).cast("timestamp")) / us).cast("long")
+    i_start = (F.unix_micros(F.col(start_col).cast("timestamp")) / us).cast("long")
+    i_end = (F.unix_micros(F.col(end_col).cast("timestamp")) / us).cast("long")
+
+    p = points.withColumn("__bucket", p_bucket)
+    i = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(i_start, i_end))
+    )
+    on = ["__bucket"] + ([key_col] if key_col else [])
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    return p.join(i, on, "inner").filter(cond).drop("__bucket")

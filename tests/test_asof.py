@@ -56,3 +56,59 @@ class TestAsofJoin:
         left, right = frames
         with pytest.raises(ValueError):
             asof_join(left, right, "key", "ts", [])
+
+
+class TestIntervalJoin:
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        from pyspark.sql import functions as F
+
+        points = spark.createDataFrame(
+            [("u1", 100, "p1"), ("u1", 250, "p2"), ("u1", 900, "p3"),
+             ("u2", 150, "p4")],
+            "key string, t bigint, pid string",
+        ).select("key", F.timestamp_seconds("t").alias("ts"), "pid")
+        ivs = spark.createDataFrame(
+            [("u1", 50, 120, "i1"),    # contains p1
+             ("u1", 90, 300, "i2"),    # contains p1 and p2
+             ("u2", 100, 200, "i3"),   # contains p4
+             ("u2", 800, 950, "i4")],  # contains nothing of u2's
+            "key string, s bigint, e bigint, iid string",
+        ).select(
+            "key",
+            F.timestamp_seconds("s").alias("t_start"),
+            F.timestamp_seconds("e").alias("t_end"),
+            "iid",
+        )
+        return points, ivs
+
+    def test_containment_pairs(self, data):
+        from poppy_spark.spark.asof import interval_join
+
+        points, ivs = data
+        out = interval_join(points, ivs, "ts", "t_start", "t_end", 60, key_col="key")
+        pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+        assert pairs == {("p1", "i1"), ("p1", "i2"), ("p2", "i2"), ("p4", "i3")}
+
+    def test_bucket_size_is_pure_efficiency_knob(self, data):
+        from poppy_spark.spark.asof import interval_join
+
+        points, ivs = data
+        expected = {("p1", "i1"), ("p1", "i2"), ("p2", "i2"), ("p4", "i3")}
+        for bucket in (1, 7, 1000, 10**6):
+            out = interval_join(points, ivs, "ts", "t_start", "t_end", bucket, key_col="key")
+            assert {(r["pid"], r["iid"]) for r in out.collect()} == expected, bucket
+
+    def test_no_duplicate_pairs(self, data):
+        from poppy_spark.spark.asof import interval_join
+
+        points, ivs = data
+        out = interval_join(points, ivs, "ts", "t_start", "t_end", 10, key_col="key")
+        assert out.count() == out.distinct().count() == 4
+
+    def test_validation(self, data):
+        from poppy_spark.spark.asof import interval_join
+
+        points, ivs = data
+        with pytest.raises(ValueError):
+            interval_join(points, ivs, "ts", "t_start", "t_end", 0)
