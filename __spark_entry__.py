@@ -755,6 +755,21 @@ def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(docs, "text", 25, seed=3)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES with the random draw replaced by md5 content hash):
+    P(doc in sample) grows with n_chars, the selected set is a pure
+    function of the data, and DuckDB reproduces the exact same rows —
+    ln/pow double math is bit-identical across both engines.  Physical
+    shape: one partial-aggregated shuffle + TakeOrderedAndProject."""
+    from poppy_spark.spark.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 50, seed=7).select(
+        F.col("key").cast("string").alias("key"), "weight"
+    )
+
+
 def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation algebra: distinct-user INTERSECTION between
     every event-type pair — the query HLL cannot answer.  One grouped build
@@ -1222,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_split": q_hash_sample_split,
         "theta_user_overlap": q_theta_user_overlap,
         "bottom_k_sample": q_bottom_k_sample,
+        "weighted_sample": q_weighted_sample,
         "duplicate_components": q_duplicate_components,
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
@@ -1443,6 +1459,13 @@ FROM s""",
         "bottom_k_sample": (
             "SELECT key FROM (SELECT DISTINCT text AS key FROM documents) "
             "ORDER BY substr(md5('seed3|' || key), 1, 8), key LIMIT 25"
+        ),
+        "weighted_sample": (
+            "SELECT key, weight FROM ("
+            " SELECT CAST(doc_id AS VARCHAR) AS key, SUM(CAST(n_chars AS DOUBLE)) AS weight"
+            " FROM documents WHERE n_chars > 0 GROUP BY doc_id)"
+            " ORDER BY ln((('0x' || substr(md5('seed7|' || key), 1, 8))::BIGINT + 0.5)"
+            " / 4294967296.0) / weight DESC, key LIMIT 50"
         ),
         "theta_user_overlap": (
             "SELECT a.event_type AS type_a, b.event_type AS type_b, "

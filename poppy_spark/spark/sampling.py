@@ -121,3 +121,47 @@ def bottom_k_sample(
         .limit(k)
         .select("key")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` distinct
+    keys, P(key in sample) increasing with its total weight — Efraimidis &
+    Spirakis (2006) A-ES, with the random draw replaced by the content hash
+    so the sample is a pure function of the data.
+
+    Each key gets ``u = (u32 + 0.5) / 2^32`` from the first 8 md5 hex
+    chars (uniform, never 0/1) and score ``ln(u) / W`` where ``W`` is the
+    key's summed weight; the k LARGEST scores win — exactly the classic
+    ``u^(1/w)`` order, in log space.  Duplicate keys pool their weight
+    (item-weight semantics: a document counted twice is twice as likely).
+
+    Physical shape: one hash-partial-aggregated shuffle for the per-key
+    weight sum, then TakeOrderedAndProject (per-partition top-k + k-row
+    driver merge — no full sort).  The score is reproducible in ANSI SQL
+    (DuckDB: ``ln((('0x'||substr(md5(...),1,8))::bigint + 0.5)/2^32)/W``);
+    Spark and DuckDB produce bit-identical doubles, and the key itself
+    breaks any residual ordering tie, so the selected row SET is a true
+    cross-engine value oracle.
+
+    Returns columns ``key`` and ``weight`` (the pooled weight).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u32 = F.conv(_hex8(F.col("key"), seed), 16, 10).cast("long")
+    u = (u32 + F.lit(0.5)) / F.lit(float(_SPACE))
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(weight_col).cast("double").alias("w"))
+        .filter(F.col("w") > 0)
+        .groupBy("key")
+        .agg(F.sum("w").alias("weight"))
+        .withColumn("__s", F.log(u) / F.col("weight"))
+        .orderBy(F.col("__s").desc(), "key")
+        .limit(k)
+        .select("key", "weight")
+    )

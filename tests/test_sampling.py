@@ -114,3 +114,68 @@ class TestBottomK:
 
         with pytest.raises(ValueError):
             bottom_k_sample(docs, "text", 0)
+
+
+class TestWeightedSample:
+    def test_deterministic_layout_invariant(self, docs, spark):
+        from poppy_spark.spark.sampling import weighted_sample
+
+        w = docs.withColumn("wt", (F.col("doc_id") % 10 + 1).cast("double"))
+        a = {r["key"] for r in weighted_sample(w, "text", "wt", 200, seed=2).collect()}
+        b = {
+            r["key"]
+            for r in weighted_sample(w.repartition(13), "text", "wt", 200, seed=2).collect()
+        }
+        assert len(a) == 200
+        assert a == b
+
+    def test_weight_bias(self, docs):
+        from poppy_spark.spark.sampling import weighted_sample
+
+        # weight 100 for doc_id < 500, weight 1 otherwise: heavy keys should
+        # dominate the sample far beyond their 10% population share
+        w = docs.withColumn(
+            "wt", F.when(F.col("doc_id") < 500, 100.0).otherwise(1.0)
+        )
+        out = weighted_sample(w, "doc_id", "wt", 300, seed=0)
+        heavy = out.filter(F.col("key").cast("long") < 500).count()
+        assert heavy > 200  # ~91% expected; uniform would give ~30
+
+    def test_duplicate_keys_pool_weight(self, spark):
+        from poppy_spark.spark.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [("x", 1.0)] * 5 + [("y", 2.0)] + [("z", 0.0)], "key string, wt double"
+        )
+        out = weighted_sample(df, "key", "wt", 10)
+        rows = {r["key"]: r["weight"] for r in out.collect()}
+        assert rows == {"x": 5.0, "y": 2.0}  # z dropped (weight 0), x pooled
+
+    def test_matches_duckdb_exactly(self, docs):
+        import duckdb
+
+        from poppy_spark.spark.sampling import weighted_sample
+
+        w = docs.withColumn("wt", (F.col("doc_id") % 7 + 1).cast("double"))
+        got = sorted(
+            (r["key"], r["weight"])
+            for r in weighted_sample(w, "text", "wt", 150, seed=4).collect()
+        )
+        pdf = w.select("text", "wt").toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = sorted(
+            con.sql(
+                "SELECT key, weight FROM ("
+                " SELECT text AS key, SUM(wt) AS weight FROM t GROUP BY text)"
+                " ORDER BY ln((('0x' || substr(md5('seed4|' || key), 1, 8))::BIGINT + 0.5)"
+                "          / 4294967296.0) / weight DESC, key LIMIT 150"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_k_validation(self, docs):
+        from poppy_spark.spark.sampling import weighted_sample
+
+        with pytest.raises(ValueError):
+            weighted_sample(docs.withColumn("wt", F.lit(1.0)), "text", "wt", 0)
