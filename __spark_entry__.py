@@ -755,6 +755,19 @@ def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(docs, "text", 25, seed=3)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    A1): duplicate-line fraction, duplicate-line character fraction, and
+    the character share of the most frequent word 2-gram.  Line metrics
+    are pure array expressions (no shuffle); the 2-gram mode explodes and
+    aggregates keyed by doc_id, skew-free at any corpus size.  DuckDB
+    reproduces all three doubles bit-for-bit."""
+    from poppy_spark.spark.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample without replacement (Efraimidis-
     Spirakis A-ES with the random draw replaced by md5 content hash):
@@ -1238,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_user_overlap": q_theta_user_overlap,
         "bottom_k_sample": q_bottom_k_sample,
         "weighted_sample": q_weighted_sample,
+        "repetition_stats": q_repetition_stats,
         "duplicate_components": q_duplicate_components,
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
@@ -1460,6 +1474,33 @@ FROM s""",
             "SELECT key FROM (SELECT DISTINCT text AS key FROM documents) "
             "ORDER BY substr(md5('seed3|' || key), 1, 8), key LIMIT 25"
         ),
+        "repetition_stats": r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+    list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+  FROM documents
+), scal AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines)) / greatest(len(lines),1)::DOUBLE ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(lines) > 0 THEN 1.0 - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))),0) / greatest(coalesce(list_sum(list_transform(lines, x -> length(x))),0),1)::DOUBLE ELSE 0.0 END AS dup_line_char_frac,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars
+  FROM base
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+      THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+      ELSE [] END) AS gram
+  FROM base
+), cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, c, gram FROM (
+    SELECT doc_id, c, gram, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) rn
+    FROM cnt) WHERE rn = 1
+)
+SELECT s.doc_id, dup_line_frac, dup_line_char_frac,
+  coalesce(t.c * length(replace(t.gram, ' ', '')) / greatest(s.word_chars,1)::DOUBLE, 0.0) AS top_ngram_char_frac
+FROM scal s LEFT JOIN top t USING (doc_id)""",
         "weighted_sample": (
             "SELECT key, weight FROM ("
             " SELECT CAST(doc_id AS VARCHAR) AS key, SUM(CAST(n_chars AS DOUBLE)) AS weight"

@@ -173,6 +173,86 @@ def detect_language(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals in the style of the Gopher data
+    rules (Rae et al. 2021, appendix A1) — the standard cheap filters for
+    boilerplate/spam in web-scale corpora:
+
+    - ``dup_line_frac``: fraction of (trimmed, non-blank) lines that are
+      repeats of an earlier line, ``1 - distinct/total``.
+    - ``dup_line_char_frac``: fraction of line characters inside those
+      repeated occurrences, ``1 - distinct_chars/total_chars``.
+    - ``top_ngram_char_frac``: fraction of word characters covered by the
+      single most frequent word ``ngram_n``-gram (count × gram chars /
+      total word chars); ties break toward the lexically greatest gram.
+
+    Physical shape: the line metrics are pure array expressions (no
+    shuffle, whole-stage codegen).  The n-gram mode genuinely needs
+    per-(doc, gram) counts, so it explodes grams and aggregates twice,
+    both shuffles keyed by the document id — skew-free even when one gram
+    dominates globally, because the key includes the doc.  A left join
+    (unique id on both sides) re-attaches short documents that produce no
+    n-grams.
+    """
+    if ngram_n < 1:
+        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731 — local expression helper
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    safe = lambda c: F.greatest(c, F.lit(1)).cast("double")  # noqa: E731
+    nonzero = n_lines > 0
+    base = df.select(
+        F.col(id_col),
+        F.when(nonzero, F.lit(1.0) - F.size(dlines) / safe(n_lines))
+        .otherwise(0.0)
+        .alias("dup_line_frac"),
+        F.when(nonzero, F.lit(1.0) - chars(dlines) / safe(chars(lines)))
+        .otherwise(0.0)
+        .alias("dup_line_char_frac"),
+        chars(_words(t)).alias("__word_chars"),
+    )
+    n = ngram_n
+    words = _words(t)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.slice(words, 1, F.size(words) - n + 1),
+            lambda _, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .groupBy(id_col, "__gram")
+        .count()
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.max(F.struct(F.col("count"), F.col("__gram"))).alias("__top")
+    )
+    out = base.join(top, id_col, "left")
+    top_chars = F.col("__top.count") * F.length(
+        F.regexp_replace(F.col("__top.__gram"), " ", "")
+    )
+    return out.select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce(top_chars / safe(F.col("__word_chars")), F.lit(0.0)).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, output_col: str = "fingerprint") -> DataFrame:
     """Order-insensitive 64-bit content fingerprint: XOR of the token-set
     hashes (stable under token reordering and duplication)."""

@@ -365,3 +365,103 @@ class TestConnectedComponents:
         }
         # 2,3 fall to survivor 1; 6 falls to survivor 5; untouched rows pass
         assert kept == {0, 1, 4, 5, 7}
+
+
+class TestRepetitionStats:
+    def test_known_values(self, spark):
+        from poppy_spark.spark.text import repetition_stats
+
+        rows = [
+            (1, "a b\na b\nc d"),
+            (2, "hello world hello world hello world"),
+            (3, ""),
+            (4, "one"),
+            (5, "x\n  \nx\ny"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                round(r["dup_line_frac"], 9),
+                round(r["dup_line_char_frac"], 9),
+                round(r["top_ngram_char_frac"], 9),
+            )
+            for r in repetition_stats(df, "text", "doc_id").collect()
+        }
+        third = round(1 / 3, 9)
+        two_thirds = round(2 / 3, 9)
+        assert got[1] == (third, third, two_thirds)
+        assert got[2] == (0.0, 0.0, 1.0)  # one dominant 2-gram covers all chars
+        assert got[3] == (0.0, 0.0, 0.0)  # empty doc: all signals zero
+        assert got[4] == (0.0, 0.0, 0.0)  # too short for any 2-gram
+        assert got[5] == (third, third, two_thirds)  # blank line ignored
+
+    def test_trigram_and_validation(self, spark):
+        import pytest as _pytest
+
+        from poppy_spark.spark.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "p q r p q r p q r s")], "doc_id long, text string"
+        )
+        r = repetition_stats(df, "text", "doc_id", ngram_n=3).first()
+        # 'p q r' occurs 3x (8 trigrams total); 3 grams * 3 chars / 10 word chars
+        assert abs(r["top_ngram_char_frac"] - 0.9) < 1e-12
+        with _pytest.raises(ValueError):
+            repetition_stats(df, "text", "doc_id", ngram_n=0)
+
+    def test_matches_duckdb_on_real_docs(self, spark):
+        import duckdb
+
+        from poppy_spark.spark.text import repetition_stats
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = sorted(
+            (
+                r["doc_id"],
+                f"{r['dup_line_frac']:.12g}",
+                f"{r['dup_line_char_frac']:.12g}",
+                f"{r['top_ngram_char_frac']:.12g}",
+            )
+            for r in repetition_stats(docs, "text", "doc_id").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = sorted(
+            (r[0], f"{r[1]:.12g}", f"{r[2]:.12g}", f"{r[3]:.12g}")
+            for r in con.sql(_REPETITION_ORACLE).fetchall()
+        )
+        assert got == want
+
+
+_REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+    list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+  FROM documents
+), scal AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines)) / greatest(len(lines),1)::DOUBLE ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(lines) > 0 THEN 1.0 - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))),0) / greatest(coalesce(list_sum(list_transform(lines, x -> length(x))),0),1)::DOUBLE ELSE 0.0 END AS dup_line_char_frac,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS word_chars,
+    words
+  FROM base
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+      THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+      ELSE [] END) AS gram
+  FROM base
+), cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, c, gram FROM (
+    SELECT doc_id, c, gram, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) rn
+    FROM cnt) WHERE rn = 1
+)
+SELECT s.doc_id, dup_line_frac, dup_line_char_frac,
+  coalesce(t.c * length(replace(t.gram, ' ', '')) / greatest(s.word_chars,1)::DOUBLE, 0.0) AS top_ngram_char_frac
+FROM scal s LEFT JOIN top t USING (doc_id)
+"""
