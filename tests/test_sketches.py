@@ -309,3 +309,118 @@ class TestTopKSketch:
         for uid, n in list(exact.items())[:20]:
             est = sk.estimate(uid)
             assert n - sk.max_error <= est <= n
+
+
+class TestHllSparse:
+    def test_sparse_until_threshold_then_dense(self):
+        import numpy as np
+
+        from poppy_spark.sketches.hll import HllSketch
+
+        h = HllSketch(12)  # m=4096, limit 512
+        h.update_hashes(np.arange(1, 201, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        assert h.is_sparse
+        h.update_hashes(np.arange(1, 20001, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        assert not h.is_sparse
+
+    def test_sparse_dense_estimates_equal(self):
+        import numpy as np
+
+        from poppy_spark.sketches.hll import HllSketch
+
+        hashes = np.random.default_rng(7).integers(0, 2**64, 300, dtype=np.uint64)
+        sp = HllSketch(14)
+        sp.update_hashes(hashes)
+        assert sp.is_sparse
+        dn = HllSketch(14)
+        dn._densify()
+        dn.update_hashes(hashes)
+        assert not dn.is_sparse
+        assert sp.result() == dn.result()
+        assert (sp.registers == dn.registers).all()  # registers densifies view
+
+    def test_merge_all_form_combinations(self):
+        import numpy as np
+
+        from poppy_spark.sketches.hll import HllSketch
+
+        rng = np.random.default_rng(11)
+        a_h = rng.integers(0, 2**64, 400, dtype=np.uint64)
+        b_h = rng.integers(0, 2**64, 50000, dtype=np.uint64)
+        want = HllSketch(12)
+        want.update_hashes(np.concatenate([a_h, b_h]))
+
+        def mk(hs, dense):
+            s = HllSketch(12)
+            if dense:
+                s._densify()
+            s.update_hashes(hs)
+            return s
+
+        for da in (False, True):
+            for db in (False, True):
+                x, y = mk(a_h, da), mk(b_h, db)
+                x.merge(y)
+                assert (x.registers == want.registers).all(), (da, db)
+
+    def test_wire_roundtrip_and_size(self):
+        import numpy as np
+
+        from poppy_spark.sketches.hll import HllSketch
+
+        small = HllSketch(14)
+        small.update_hashes(
+            np.random.default_rng(3).integers(0, 2**64, 100, dtype=np.uint64)
+        )
+        raw = small.dumps()
+        assert len(raw) < 600  # ~100 pairs * 5B + header, vs 16 KiB dense
+        back = HllSketch.loads(raw)
+        assert back.is_sparse and back.result() == small.result()
+        assert back.dumps() == raw  # stable bytes
+
+        big = HllSketch(10)
+        big.update_hashes(
+            np.random.default_rng(4).integers(0, 2**64, 50000, dtype=np.uint64)
+        )
+        raw_big = big.dumps()
+        assert len(raw_big) == len(b"PSHLL\x01") + 1 + 1024  # dense layout unchanged
+        assert HllSketch.loads(raw_big).result() == big.result()
+
+    def test_final_form_is_ordering_invariant(self):
+        import numpy as np
+
+        from poppy_spark.sketches.hll import HllSketch
+
+        # occupancy stays under the limit -> every merge order ends sparse
+        # with identical bytes; the dense/sparse choice is a function of the
+        # final occupied-register SET, never of the partition order
+        rng = np.random.default_rng(9)
+        parts = [rng.integers(0, 2**64, 60, dtype=np.uint64) for _ in range(6)]
+
+        def fold(order):
+            acc = HllSketch(14)
+            for i in order:
+                s = HllSketch(14)
+                s.update_hashes(parts[i])
+                acc.merge(s)
+            return acc.dumps()
+
+        assert fold([0, 1, 2, 3, 4, 5]) == fold([5, 3, 1, 0, 4, 2])
+
+    def test_grouped_build_ships_small_states(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.sketches import HllSketch
+        from poppy_spark.spark.agg import build_sketch_grouped
+
+        # 200 groups x ~25 distinct keys: every shipped state should be a
+        # few hundred bytes, not the 16 KiB dense array
+        df = spark.range(5000).select(
+            (F.col("id") % 200).alias("g"), (F.col("id") % 5000).cast("string").alias("k")
+        )
+        states = build_sketch_grouped(df, "k", ["g"], HllSketch.factory(14))
+        sizes = [len(r["state"]) for r in states.collect()]
+        assert len(sizes) == 200
+        assert max(sizes) < 600
+        est = HllSketch.loads(sizes and states.first()["state"]).result()
+        assert 20 <= est <= 30
