@@ -1020,6 +1020,33 @@ def q_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means-bucketed) ANN recall gate, same planted-neighbor
+    protocol as the LSH row: a perturbed copy of each query vector planted
+    into the corpus must land in the top-5 for >= 90% of queries.  The
+    whole path is deterministic (hash-sampled centroid training, seeded
+    init), so the measured recall is stable across runs and layouts."""
+    from poppy_spark.spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("qid"), "embedding")
+    planted = q.select(
+        (F.col("qid") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.3)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    approx = ivf_topk(
+        corpus, q, "vec_id", "embedding", "qid", k=5, n_centroids=32, n_probe=4
+    )
+    found = approx.filter(F.col("id") == F.col("query_id") + 100_000).count()
+    n_q = q.count()
+    return spark.createDataFrame(
+        [(n_q, found / n_q >= 0.9)], "n_queries bigint, recall_ok boolean"
+    )
+
+
 def q_streaming_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: a rate-micro-batch readStream folded
     through foreachBatch into one Bloom state; every streamed value must be
@@ -1265,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_optlevel_probe": q_bloom_optlevel_probe,
         "bloom_partial_read_show": q_bloom_partial_read_show,
         "ann_planted_recall": q_ann_planted_recall,
+        "ivf_planted_recall": q_ivf_planted_recall,
         "topk_users": q_topk_users,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
@@ -1537,6 +1565,9 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT COUNT(*) AS n_keys, TRUE AS count_matches, TRUE AS params_equal FROM orders"
         ),
         "ann_planted_recall": (
+            "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
+        ),
+        "ivf_planted_recall": (
             "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
         ),
         "topk_users": (

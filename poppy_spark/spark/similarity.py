@@ -124,6 +124,140 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int = 5,
+    sample_per_centroid: int = 32,
+    seed: int = 0,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer for the IVF index.
+
+    The training sample is the ``n_centroids * sample_per_centroid``
+    smallest ``md5(seed|id)`` rows (a bottom-k content-hash sample — the
+    same trick as :func:`poppy_spark.spark.sampling.bottom_k_sample`), so
+    training sees identical vectors on every run, layout, and cluster
+    size; Lloyd's iterations on the driver are then plain deterministic
+    numpy.  Driver memory is bounded by the sample (independent of corpus
+    size); assignment of the full corpus stays distributed.
+
+    Returns a ``(n_centroids, dim)`` float64 matrix of L2-normalized
+    centroids.
+    """
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    n_sample = n_centroids * sample_per_centroid
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"ivf{seed}|"), F.col(id_col).cast("string"))), 1, 16
+    )
+    rows = (
+        with_normalized(corpus, vec_col)
+        .select(F.col("vec_n"), h.alias("__h"))
+        .orderBy("__h")
+        .limit(n_sample)
+        .collect()
+    )
+    x = np.asarray([r["vec_n"] for r in rows], dtype=np.float64)
+    if x.shape[0] < n_centroids:
+        raise ValueError(
+            f"corpus has {x.shape[0]} rows, fewer than n_centroids={n_centroids}"
+        )
+    cents = x[:n_centroids].copy()  # hash-ordered sample -> deterministic init
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if members.size:
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def _ivf_cells_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched pandas UDF: normalized vector -> its ``n_probe``
+    nearest centroid ids (by dot product).  One matmul per 16k-row batch
+    against the broadcast centroid matrix — no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cT = centroids.T.copy()
+    k = centroids.shape[0]
+    p = min(n_probe, k)
+
+    def cells(vecs):
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        scores = x @ cT
+        top = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+        # stable probe order: best centroid first
+        row_scores = np.take_along_axis(scores, top, axis=1)
+        order = np.argsort(-row_scores, axis=1, kind="stable")
+        return pd.Series(list(np.take_along_axis(top, order, axis=1).astype(np.int32)))
+
+    cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(cells, "array<int>")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    iters: int = 5,
+    seed: int = 0,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the k-means-bucketed scale
+    path beside :func:`lsh_topk`: each corpus vector lands in ONE cell
+    (its nearest coarse centroid), each query probes its ``n_probe``
+    nearest cells, and exact cosine runs only on those candidates, cutting
+    scored pairs to ~``n_probe / n_centroids`` of brute force.
+
+    All data-sized work is distributed: cell assignment is one Arrow-
+    batched matmul pass (the centroid matrix, ``n_centroids x dim`` -- a
+    few MB -- broadcasts inside the UDF closure), candidates come from an
+    equi-join on the cell id, and at production scale the assigned corpus
+    would be written ``partitionBy(cell)`` once and reused across query
+    batches.  Hot cells (skewed data) are bounded by the quantizer: recall
+    the per-cell expected size is |corpus|/n_centroids; size n_centroids ~
+    sqrt(|corpus|) as usual for IVF.  Deterministic end-to-end (hash-
+    sampled training, seeded init), so recall gates are reproducible.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, id_col, vec_col, n_centroids, iters=iters, seed=seed
+        )
+    c = with_normalized(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("vec_n").alias("cv")
+    )
+    q = with_normalized(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv")
+    )
+    c_cells = c.withColumn(
+        "cell", _ivf_cells_udf(centroids, 1)(F.col("cv"))[0]
+    )
+    q_cells = q.withColumn(
+        "cell", F.explode(_ivf_cells_udf(centroids, n_probe)(F.col("qv")))
+    )
+    cands = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .select("query_id", "id", "cv", "qv")
+        .dropDuplicates(["query_id", "id"])
+    )
+    scored = cands.select(
+        "query_id", "id", _dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7_777_777) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]

@@ -465,3 +465,78 @@ SELECT s.doc_id, dup_line_frac, dup_line_char_frac,
   coalesce(t.c * length(replace(t.gram, ' ', '')) / greatest(s.word_chars,1)::DOUBLE, 0.0) AS top_ngram_char_frac
 FROM scal s LEFT JOIN top t USING (doc_id)
 """
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((400, 16)).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+        return (
+            spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache(),
+            vecs,
+        )
+
+    def test_centroids_deterministic_and_normalized(self, vectors):
+        from poppy_spark.spark.similarity import ivf_train_centroids
+
+        df, _ = vectors
+        a = ivf_train_centroids(df, "vec_id", "embedding", 8, iters=3)
+        b = ivf_train_centroids(df.repartition(7), "vec_id", "embedding", 8, iters=3)
+        assert a.shape == (8, 16)
+        assert np.allclose(a, b)  # layout-invariant training sample
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_self_always_retrieved(self, vectors):
+        from poppy_spark.spark.similarity import ivf_topk
+
+        df, _ = vectors
+        queries = df.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+        rows = ivf_topk(
+            df, queries, "vec_id", "embedding", "qid", k=5, n_centroids=16, n_probe=2
+        ).collect()
+        for qid in range(5):
+            mine = {r["id"] for r in rows if r["query_id"] == qid}
+            # the query's own vector shares its cell, so probing that cell
+            # first must always retrieve it at cosine 1
+            assert qid in mine
+
+    def test_recall_vs_bruteforce(self, vectors):
+        from poppy_spark.spark.similarity import ivf_topk
+
+        df, vecs = vectors
+        queries = df.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+        rows = ivf_topk(
+            df, queries, "vec_id", "embedding", "qid", k=5, n_centroids=16, n_probe=8
+        ).collect()
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = nv @ nv[:10].T
+        hits = 0
+        for qid in range(10):
+            expected = set(np.argsort(-sims[:, qid])[:5])
+            mine = {r["id"] for r in rows if r["query_id"] == qid}
+            hits += len(expected & mine)
+        assert hits / 50 >= 0.6  # probing half the cells
+
+    def test_full_probe_equals_bruteforce(self, vectors):
+        from poppy_spark.spark.similarity import cosine_topk, ivf_topk
+
+        df, _ = vectors
+        queries = df.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        exact = cosine_topk(df, queries, "vec_id", "embedding", "qid", k=5)
+        full = ivf_topk(
+            df, queries, "vec_id", "embedding", "qid", k=5, n_centroids=8, n_probe=8
+        )
+        want = sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+        got = sorted((r["query_id"], r["rank"], r["id"]) for r in full.collect())
+        assert got == want  # probing every cell degenerates to brute force
+
+    def test_validation(self, vectors):
+        from poppy_spark.spark.similarity import ivf_train_centroids
+
+        df, _ = vectors
+        with pytest.raises(ValueError):
+            ivf_train_centroids(df, "vec_id", "embedding", 0)
+        with pytest.raises(ValueError):
+            ivf_train_centroids(df.limit(3), "vec_id", "embedding", 8)
