@@ -200,3 +200,112 @@ def stateful_grouped_sketch(
         fn, out_schema, "state binary, n bigint", "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def exact_stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup bounded by event time: Spark's
+    ``dropDuplicatesWithinWatermark`` keeps key state only for the
+    watermark horizon, so state is bounded by the keys arriving within it.
+    Emission follows watermark progress (a row can surface a micro-batch
+    later, once the watermark has advanced past it — plan sinks/tests for
+    that, not for same-batch emission).  Use when duplicates cluster in
+    time (retried events, replayed turns); for corpus-lifetime dedup over
+    unbounded key counts use :class:`BloomStreamDedup`."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+class BloomStreamDedup:
+    """Corpus-lifetime streaming dedup with BOUNDED memory: a persistent
+    Bloom filter gates each micro-batch, emitting only first-seen keys to
+    ``out_path``.
+
+    Exact-dedup state for 10^12 keys is ~tens of TB; the filter is
+    ``bit_size(capacity, fpp)`` bits TOTAL, forever.  Asymmetry of Bloom
+    errors does the right thing here: zero false negatives means NO
+    duplicate ever passes; a false positive (rate ``fpp``) drops a unique
+    key, the usual accepted trade for web-scale streaming dedup.
+
+    Per micro-batch: within-batch ``dropDuplicates`` → broadcast probe
+    against the current filter (Arrow-vectorized, no shuffle of the batch)
+    → append survivors → fold survivors' keys into the filter via the same
+    two-phase build as everything else → atomic state replace.  A
+    processed ``batch_id`` is recorded inside the state file, so a
+    restarted query re-offering the same batch is SKIPPED — replays
+    neither drop rows (as already-inserted "seen" keys) nor double-append.
+
+    Driver holds the filter (worker-sized states; for >broadcast-budget
+    filters the same gate composes with
+    :class:`poppy_spark.spark.sharded.ShardedBloomStream` probes).
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        factory: Callable[[], Sketch],
+        key_col: str,
+        out_path: str,
+        max_state_bytes: int = 1 << 30,
+    ):
+        sk0 = factory()
+        est = len(sk0.dumps())
+        if est > max_state_bytes:
+            raise ValueError(
+                f"filter state is ~{est} bytes; BloomStreamDedup probes and "
+                f"folds it through the driver each micro-batch (cap "
+                f"{max_state_bytes}) — compose ShardedBloomStream probes for "
+                f"filters this large"
+            )
+        self.dir = directory
+        self.factory = factory
+        self.key_col = key_col
+        self.out_path = out_path
+        os.makedirs(directory, exist_ok=True)
+        self._state_path = os.path.join(directory, "dedup.state")
+
+    def _load(self):
+        import struct as _struct
+
+        cls = type(self.factory())
+        if os.path.exists(self._state_path):
+            with open(self._state_path, "rb") as f:
+                raw = f.read()
+            (last_batch,) = _struct.unpack_from("<q", raw)
+            return cls.loads(raw[8:]), last_batch
+        return self.factory(), -1
+
+    def current(self) -> Sketch:
+        return self._load()[0]
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import struct as _struct
+
+        from poppy_spark.spark.agg import build_sketch
+        from poppy_spark.spark.probe import bloom_contains
+
+        sk, last_batch = self._load()
+        if batch_id <= last_batch:  # replayed batch: already fully applied
+            return
+        fresh = batch_df.dropDuplicates([self.key_col])
+        if not fresh.isEmpty():
+            probed = bloom_contains(fresh, self.key_col, sk.dumps(), "__seen")
+            survivors = probed.filter(~F.col("__seen")).drop("__seen")
+            # per-batch subdirectory + overwrite: re-running a batch whose
+            # state write never landed replaces its own output instead of
+            # appending a second copy — the whole step is idempotent
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.out_path, f"batch={batch_id}")
+            )
+            delta = build_sketch(survivors, self.key_col, self.factory)
+            sk.merge(delta)
+            sk.finalize_merge()
+        tmp = self._state_path + f".tmp{batch_id}"
+        with open(tmp, "wb") as f:
+            f.write(_struct.pack("<q", batch_id) + sk.dumps())
+        os.replace(tmp, self._state_path)
