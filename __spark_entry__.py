@@ -755,6 +755,18 @@ def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(docs, "text", 25, seed=3)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed IDF, word-ascending tie
+    break): explode + doc-keyed tf count, map-side-combined document
+    frequency, word-keyed join (AQE skew-split for stop words), per-doc
+    top-k window.  Deterministic doubles — DuckDB reproduces every score
+    bit-for-bit."""
+    from poppy_spark.spark.text import tf_idf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "text", "doc_id", 3)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021
     A1): duplicate-line fraction, duplicate-line character fraction, and
@@ -1279,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottom_k_sample": q_bottom_k_sample,
         "weighted_sample": q_weighted_sample,
         "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "duplicate_components": q_duplicate_components,
         "sessionize_events": q_sessionize_events,
         "asof_join_events": q_asof_join_events,
@@ -1502,6 +1515,23 @@ FROM s""",
             "SELECT key FROM (SELECT DISTINCT text AS key FROM documents) "
             "ORDER BY substr(md5('seed3|' || key), 1, 8), key LIMIT 25"
         ),
+        "tfidf_top_terms": r"""
+WITH pairs AS (
+  SELECT doc_id, unnest(list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM pairs GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM pairs GROUP BY word
+), n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tf_idf
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, df, tf_idf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, word ASC) AS rank
+FROM scored QUALIFY rank <= 3""",
         "repetition_stats": r"""
 WITH base AS (
   SELECT doc_id,

@@ -253,6 +253,67 @@ def repetition_stats(
     )
 
 
+def document_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus document frequency: one row per distinct word with the count
+    of documents containing it — the vocabulary-statistics primitive under
+    IDF weighting, stopword discovery, and vocab pruning.
+
+    Shape: explode distinct words per doc (``array_distinct`` BEFORE the
+    explode, so a word repeated in one doc ships once), then one partially-
+    aggregated count keyed by word.  Hot words (``the``) are exactly the
+    pre-aggregated case: each map task emits one partial count per word.
+    """
+    words = F.explode(F.array_distinct(_words(F.col(text_col)))).alias("word")
+    return (
+        df.select(F.col(id_col), words)
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top ``top_k`` TF-IDF terms per document: ``tf * (ln((N+1)/(df+1)) + 1)``
+    (smoothed IDF), ties broken by word ascending — fully deterministic, and
+    the double math reproduces bit-for-bit in any IEEE SQL engine.
+
+    Physical shape: one explode + per-(doc, word) count (shuffle keyed by
+    doc+word — skew-free), one word-keyed document-frequency aggregate
+    (map-side combined), a join keyed by word (AQE skew-join splits the
+    stop-word keys if they dominate), and a per-doc top-k window.  N is
+    computed inside the plan (scalar aggregate), not collected.
+    """
+    from pyspark.sql.window import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pairs = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    tf = pairs.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = document_frequency(df, text_col, id_col)
+    n_docs = df.select(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.col("tf")
+            * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "word", "tf", "df", "tf_idf", "rank")
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, output_col: str = "fingerprint") -> DataFrame:
     """Order-insensitive 64-bit content fingerprint: XOR of the token-set
     hashes (stable under token reordering and duplication)."""

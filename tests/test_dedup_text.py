@@ -540,3 +540,37 @@ class TestIvf:
             ivf_train_centroids(df, "vec_id", "embedding", 0)
         with pytest.raises(ValueError):
             ivf_train_centroids(df.limit(3), "vec_id", "embedding", 8)
+
+
+class TestTfIdf:
+    def test_known_values(self, spark):
+        from poppy_spark.spark.text import document_frequency, tf_idf_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+            "doc_id long, text string",
+        )
+        dfreq = {r["word"]: r["df"] for r in document_frequency(df, "text", "doc_id").collect()}
+        assert dfreq == {"apple": 2, "banana": 2, "cherry": 1}
+        import math
+
+        top = tf_idf_top_terms(df, "text", "doc_id", 1).collect()
+        by_doc = {r["doc_id"]: r for r in top}
+        # doc 1: apple tf=2 beats banana tf=1 (same idf)
+        assert by_doc[1]["word"] == "apple" and by_doc[1]["tf"] == 2
+        # doc 2: cherry (rarer) beats banana at equal tf
+        assert by_doc[2]["word"] == "cherry"
+        want = 1 * (math.log(4.0 / 2.0) + 1.0)
+        assert abs(by_doc[2]["tf_idf"] - want) < 1e-12
+
+    def test_validation_and_determinism(self, spark):
+        from poppy_spark.spark.text import tf_idf_top_terms
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, tf_idf_top_terms(docs, "text", "doc_id", 2).collect()))
+        b = sorted(
+            map(tuple, tf_idf_top_terms(docs.repartition(7), "text", "doc_id", 2).collect())
+        )
+        assert a == b
+        with pytest.raises(ValueError):
+            tf_idf_top_terms(docs, "text", "doc_id", 0)
