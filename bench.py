@@ -201,6 +201,38 @@ def main() -> None:
         lambda: pack_sequences(docs, "doc_id", "n_chars", 2048, n_buckets=64).count(),
     )
 
+    from poppy_spark.spark.text import repetition_stats, tf_idf_top_terms
+
+    bench(
+        "tfidf_docs",
+        lambda: tf_idf_top_terms(docs, "text", "doc_id", 3).count(),
+    )
+    bench(
+        "repetition_docs",
+        lambda: repetition_stats(docs, "text", "doc_id")
+        .agg(F.avg("dup_line_frac"), F.avg("top_ngram_char_frac"))
+        .collect(),
+    )
+
+    from poppy_spark.spark.similarity import ivf_topk, ivf_train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    ivf_queries = emb.limit(50).select(F.col("vec_id").alias("qid"), "embedding")
+    # index build (centroid training) and query timed separately — at scale
+    # the quantizer is trained once and reused across query batches
+    cents = bench(
+        "ivf_train",
+        lambda: ivf_train_centroids(emb, "vec_id", "embedding", 32),
+    )
+    bench(
+        "ivf_topk",
+        lambda: ivf_topk(
+            emb, ivf_queries, "vec_id", "embedding", "qid",
+            k=10, n_centroids=32, n_probe=4, centroids=cents,
+        ).count(),
+    )
+
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)
