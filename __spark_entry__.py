@@ -218,6 +218,36 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter word 2-grams (boilerplate-phrase discovery)
+    via the same Misra-Gries summary, fed by a pure-array n-gram explode:
+    the exact top-10 grams' estimates must sit in [n_exact - N/(m+1),
+    n_exact] after the distributed merge tree."""
+    from poppy_spark.sketches import TopKSketch
+    from poppy_spark.spark.agg import build_sketch
+    from poppy_spark.spark.text import word_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+    sk = build_sketch(grams, "gram", TopKSketch.factory(8192))
+    exact = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("gram"))
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (
+            r["gram"],
+            r["n_exact"],
+            bool(r["n_exact"] - sk.max_error <= sk.estimate(r["gram"]) <= r["n_exact"]),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(rows, "gram string, n_exact bigint, within_bound boolean")
+
+
 # --------------------------------------------------------------------------
 # Quantiles: KLL median and t-digest p99 per group (SURVEY §2.9)
 # --------------------------------------------------------------------------
@@ -1307,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_planted_recall": q_ann_planted_recall,
         "ivf_planted_recall": q_ivf_planted_recall,
         "topk_users": q_topk_users,
+        "topk_ngrams": q_topk_ngrams,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1604,6 +1635,18 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
         ),
+        "topk_ngrams": r"""
+WITH words AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      ELSE [] END) AS gram
+  FROM words
+)
+SELECT gram, COUNT(*) AS n_exact, TRUE AS within_bound FROM grams
+GROUP BY gram ORDER BY n_exact DESC, gram LIMIT 10""",
         "streaming_fold": (
             "SELECT 500 AS n_probed, 0 AS n_missed, TRUE AS state_nonempty"
         ),

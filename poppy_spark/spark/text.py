@@ -173,6 +173,19 @@ def detect_language(
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of the lowercased text (empty
+    when the text has fewer than ``n`` words).  Pure array expression."""
+    words = _words(text)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.slice(words, 1, F.size(words) - n + 1),
+            lambda _, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str,
@@ -222,17 +235,8 @@ def repetition_stats(
         .alias("dup_line_char_frac"),
         chars(_words(t)).alias("__word_chars"),
     )
-    n = ngram_n
-    words = _words(t)
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.slice(words, 1, F.size(words) - n + 1),
-            lambda _, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        df.select(F.col(id_col), F.explode(word_ngrams(t, ngram_n)).alias("__gram"))
         .groupBy(id_col, "__gram")
         .count()
     )
