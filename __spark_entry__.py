@@ -218,6 +218,27 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-driven equal-mass bucketing of event values into 8 shards: two
+    passes, zero row shuffles (states-only build + CASE projection).  Gate:
+    every bucket's mass within 5% of N/8 and all N rows assigned exactly
+    once — the balance the sketch's rank error promises."""
+    from poppy_spark.spark.sampling import quantile_buckets
+
+    events = _read(spark, sf_dir, "events")
+    out = quantile_buckets(events, "value", 8)
+    n = events.count()
+    counts = out.groupBy("bucket").count().collect()
+    total = sum(r["count"] for r in counts)
+    rows = [
+        (int(r["bucket"]), bool(abs(r["count"] - n / 8) <= 0.05 * n / 8), total)
+        for r in counts
+    ]
+    return spark.createDataFrame(
+        rows, "bucket int, within_tol boolean, n_total bigint"
+    )
+
+
 def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy-hitter word 2-grams (boilerplate-phrase discovery)
     via the same Misra-Gries summary, fed by a pure-array n-gram explode:
@@ -1338,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_planted_recall": q_ivf_planted_recall,
         "topk_users": q_topk_users,
         "topk_ngrams": q_topk_ngrams,
+        "quantile_buckets": q_quantile_buckets,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1634,6 +1656,11 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
+        ),
+        "quantile_buckets": (
+            "SELECT b.bucket, TRUE AS within_tol, "
+            "(SELECT COUNT(*) FROM events) AS n_total "
+            "FROM (SELECT unnest(range(0, 8))::INT AS bucket) b"
         ),
         "topk_ngrams": r"""
 WITH words AS (

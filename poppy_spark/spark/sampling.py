@@ -165,3 +165,43 @@ def weighted_sample(
         .limit(k)
         .select("key", "weight")
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    k: int = 400,
+    output_col: str = "bucket",
+) -> DataFrame:
+    """Equal-mass bucketing driven by a distributed KLL sketch: one
+    two-phase sketch build learns the value distribution, its ``1/B``
+    quantile boundaries broadcast as a plain CASE expression, and a second
+    pass assigns every row a bucket in [0, B) — the "length-balanced
+    training shards" operator (token-count-balanced shards, latency-band
+    splits) without ever sorting the data.
+
+    Exactly two passes over the data, no shuffle of data rows at all: the
+    build ships one KLL state per partition; assignment is a pushed-down
+    scan + projection.  Bucket masses are balanced within the KLL rank
+    error (~1/k per boundary), gated by the oracle row.  Boundary
+    assignment rule: bucket b covers (q_b, q_{b+1}] with bucket 0 taking
+    everything <= q_1 — ties on a boundary value land deterministically in
+    the lower bucket.  Re-running on the same input layout reproduces the
+    same buckets (the KLL build is seeded); a different partitioning can
+    shift boundaries within the rank error, moving only rows adjacent to a
+    boundary — pin the boundaries (collect and reuse) when byte-stable
+    assignment across layouts matters.
+    """
+    from poppy_spark.sketches import KllSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    sk = build_sketch(df, value_col, KllSketch.factory(k))
+    bounds = [sk.quantile(i / n_buckets) for i in range(1, n_buckets)]
+    v = F.col(value_col)
+    expr = F.lit(n_buckets - 1)
+    for b in range(n_buckets - 2, -1, -1):
+        expr = F.when(v <= F.lit(bounds[b]), F.lit(b)).otherwise(expr)
+    return df.withColumn(output_col, expr.cast("int"))

@@ -179,3 +179,36 @@ class TestWeightedSample:
 
         with pytest.raises(ValueError):
             weighted_sample(docs.withColumn("wt", F.lit(1.0)), "text", "wt", 0)
+
+
+class TestQuantileBuckets:
+    def test_balanced_and_exhaustive(self, docs, spark):
+        from poppy_spark.spark.sampling import quantile_buckets
+
+        df = docs.withColumn("v", (F.col("doc_id") * 37 % 5000).cast("double"))
+        out = quantile_buckets(df, "v", 10)
+        counts = {r["bucket"]: r["count"] for r in out.groupBy("bucket").count().collect()}
+        assert set(counts) == set(range(10))
+        assert sum(counts.values()) == 5000  # every row assigned exactly once
+        for n in counts.values():
+            assert abs(n - 500) <= 50  # within KLL rank error of equal mass
+
+    def test_rerun_deterministic_and_monotone(self, docs):
+        from poppy_spark.spark.sampling import quantile_buckets
+
+        df = docs.withColumn("v", (F.col("doc_id") % 977).cast("double"))
+        a = sorted((r["doc_id"], r["bucket"]) for r in quantile_buckets(df, "v", 4).collect())
+        b = sorted((r["doc_id"], r["bucket"]) for r in quantile_buckets(df, "v", 4).collect())
+        assert a == b  # same input layout -> same boundaries -> same buckets
+        # assignment is monotone in v: sorting by value never decreases bucket
+        rows = sorted(
+            (r["v"], r["bucket"])
+            for r in quantile_buckets(df, "v", 4).select("v", "bucket").collect()
+        )
+        assert all(rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1))
+
+    def test_validation(self, docs):
+        from poppy_spark.spark.sampling import quantile_buckets
+
+        with pytest.raises(ValueError):
+            quantile_buckets(docs.withColumn("v", F.lit(1.0)), "v", 1)
