@@ -276,3 +276,30 @@ def test_hash_sample_threshold_monotone(rate, keys):
         h = hashlib.md5(f"seed0|{key}".encode()).hexdigest()[:8]
         if h < t1:
             assert h < t2  # larger rate keeps a superset
+
+
+class TestSparseHllProperties:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=400),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=0, max_value=2**32),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_any_partitioning_matches_single_update(self, keys, n_parts, seed):
+        import numpy as np
+
+        from poppy_spark.sketches.hll import HllSketch
+
+        h = np.array(keys, dtype=np.uint64)
+        want = HllSketch(10)
+        want.update_hashes(h)
+        rng = np.random.default_rng(seed)
+        assign = rng.integers(0, n_parts, h.size) if h.size else np.empty(0, int)
+        acc = HllSketch(10)
+        for p in range(n_parts):
+            part = HllSketch(10)
+            part.update_hashes(h[assign == p])
+            # exercise mixed sparse/dense crossings via the wire format too
+            acc.merge(HllSketch.loads(part.dumps()))
+        assert (acc.registers == want.registers).all()
+        assert acc.dumps() == want.dumps()
