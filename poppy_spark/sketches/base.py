@@ -54,6 +54,14 @@ class Sketch(abc.ABC):
     def result(self) -> Any:
         """The sketch's answer (estimate, signature, quantile fn...)."""
 
+    def memory_bound_bytes(self) -> int:
+        """Upper bound on this sketch's IN-MEMORY footprint once populated —
+        used by grouped builds to size per-task flush thresholds.  Defaults
+        to the serialized size, which is only correct when the wire form is
+        the dense form; sketches with a compact wire encoding (sparse HLL)
+        must override with their dense size."""
+        return len(self.dumps())
+
     def finalize_merge(self) -> None:
         """Normalize state after a distributed merge so the final bytes do not
         depend on the partition count (e.g. Bloom re-estimates its count field

@@ -93,6 +93,11 @@ class HllSketch(Sketch):
     def is_sparse(self) -> bool:
         return self._dense is None
 
+    def memory_bound_bytes(self) -> int:
+        """Dense footprint: a populated group densifies to 2^p register
+        bytes regardless of how small its serialized state is."""
+        return self.m + 7
+
     @property
     def registers(self) -> np.ndarray:
         """Dense register view; materializes (and caches) if sparse."""
@@ -182,9 +187,11 @@ class HllSketch(Sketch):
         """Self-describing state.  Dense wire layout (``magic p registers``)
         is unchanged from earlier releases; a sparse state whose pair
         encoding (4-byte count + 4-byte indexes + 1-byte rhos) is smaller
-        than the 2^p dense array ships that instead — lengths cannot
-        collide because ``5n + 4 == 2^p`` has no integer solution
-        (2^p mod 5 is never 0)."""
+        than the 2^p dense array ships that instead.  The STRICT ``<`` is
+        load-bearing for format detection: ``5n + 4 == 2^p`` has integer
+        solutions (p=6,10,14,18...), so a sparse body may only ship when
+        shorter than the dense one — at equality we ship dense, and
+        ``loads`` disambiguates purely by length."""
         head = _MAGIC + struct.pack("<B", self.p)
         if self._dense is None and 5 * self._sj.size + 4 < self.m:
             return (

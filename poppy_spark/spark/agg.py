@@ -472,7 +472,10 @@ def build_sketch_grouped(
                     sk_new = factory()
                     sk_new.int_keys = int_keys
                     if not state_bytes_est:
-                        state_bytes_est = max(len(sk_new.dumps()), 1)
+                        # in-memory bound, NOT len(dumps()): sketches with a
+                        # compact serialized form (sparse HLL) still cost
+                        # their dense size per group once updated
+                        state_bytes_est = max(sk_new.memory_bound_bytes(), 1)
                     ent = states[gkey] = [sk_new, 0]
                     group_arrays[gkey] = gpdf.iloc[positions[0]][group_cols]
                 sub = key_col.take(pa.array(positions))

@@ -204,4 +204,8 @@ def quantile_buckets(
     expr = F.lit(n_buckets - 1)
     for b in range(n_buckets - 2, -1, -1):
         expr = F.when(v <= F.lit(bounds[b]), F.lit(b)).otherwise(expr)
-    return df.withColumn(output_col, expr.cast("int"))
+    # NULL values get a NULL bucket (they have no rank) — without the guard
+    # the when-chain would silently fall through to the top bucket
+    return df.withColumn(
+        output_col, F.when(v.isNotNull(), expr).cast("int")
+    )

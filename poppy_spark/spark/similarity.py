@@ -155,6 +155,7 @@ def ivf_train_centroids(
     rows = (
         with_normalized(corpus, vec_col)
         .select(F.col("vec_n"), h.alias("__h"))
+        .filter(F.col("vec_n").isNotNull())
         .orderBy("__h")
         .limit(n_sample)
         .collect()
@@ -234,11 +235,17 @@ def ivf_topk(
         centroids = ivf_train_centroids(
             corpus, id_col, vec_col, n_centroids, iters=iters, seed=seed
         )
-    c = with_normalized(corpus, vec_col).select(
-        F.col(id_col).alias("id"), F.col("vec_n").alias("cv")
+    # NULL embeddings carry no position — drop them before the matmul UDF
+    # (the brute-force path would score them as NULL cosine anyway)
+    c = (
+        with_normalized(corpus, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
+        .filter(F.col("cv").isNotNull())
     )
-    q = with_normalized(queries, vec_col).select(
-        F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv")
+    q = (
+        with_normalized(queries, vec_col)
+        .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
+        .filter(F.col("qv").isNotNull())
     )
     c_cells = c.withColumn(
         "cell", _ivf_cells_udf(centroids, 1)(F.col("cv"))[0]
@@ -246,10 +253,11 @@ def ivf_topk(
     q_cells = q.withColumn(
         "cell", F.explode(_ivf_cells_udf(centroids, n_probe)(F.col("qv")))
     )
-    cands = (
-        c_cells.join(F.broadcast(q_cells), "cell")
-        .select("query_id", "id", "cv", "qv")
-        .dropDuplicates(["query_id", "id"])
+    # (query_id, id) pairs are unique by construction — one cell per corpus
+    # vector, distinct probe cells per query — so no dedup shuffle is needed
+    # (unlike lsh_topk, where multi-table membership duplicates pairs)
+    cands = c_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "id", "cv", "qv"
     )
     scored = cands.select(
         "query_id", "id", _dot(F.col("cv"), F.col("qv")).alias("cosine")

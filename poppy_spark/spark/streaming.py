@@ -295,14 +295,19 @@ class BloomStreamDedup:
         fresh = batch_df.dropDuplicates([self.key_col])
         if not fresh.isEmpty():
             probed = bloom_contains(fresh, self.key_col, sk.dumps(), "__seen")
-            survivors = probed.filter(~F.col("__seen")).drop("__seen")
-            # per-batch subdirectory + overwrite: re-running a batch whose
-            # state write never landed replaces its own output instead of
-            # appending a second copy — the whole step is idempotent
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(self.out_path, f"batch={batch_id}")
-            )
-            delta = build_sketch(survivors, self.key_col, self.factory)
+            # persist: the parquet write and the delta build would otherwise
+            # each re-run the dedup shuffle + probe over the batch
+            survivors = probed.filter(~F.col("__seen")).drop("__seen").persist()
+            try:
+                # per-batch subdirectory + overwrite: re-running a batch whose
+                # state write never landed replaces its own output instead of
+                # appending a second copy — the whole step is idempotent
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(self.out_path, f"batch={batch_id}")
+                )
+                delta = build_sketch(survivors, self.key_col, self.factory)
+            finally:
+                survivors.unpersist()
             sk.merge(delta)
             sk.finalize_merge()
         tmp = self._state_path + f".tmp{batch_id}"

@@ -574,3 +574,16 @@ class TestTfIdf:
         assert a == b
         with pytest.raises(ValueError):
             tf_idf_top_terms(docs, "text", "doc_id", 0)
+
+
+def test_ivf_ignores_null_embeddings(spark):
+    from poppy_spark.spark.similarity import ivf_topk
+
+    rows = [(i, [float(i % 7 + j) for j in range(8)]) for i in range(100)]
+    rows += [(200, None), (201, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    got = ivf_topk(df, q, "vec_id", "embedding", "qid", k=3, n_centroids=4, n_probe=2)
+    rows = got.collect()
+    assert rows  # no crash on NULL vectors
+    assert all(r["id"] not in (200, 201) for r in rows)

@@ -212,3 +212,18 @@ class TestQuantileBuckets:
 
         with pytest.raises(ValueError):
             quantile_buckets(docs.withColumn("v", F.lit(1.0)), "v", 1)
+
+
+def test_quantile_buckets_null_values_get_null_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from poppy_spark.spark.sampling import quantile_buckets
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 != 0, F.col("id").cast("double")).alias("v")
+    )
+    out = quantile_buckets(df, "v", 4)
+    nulls = out.filter(F.col("v").isNull())
+    assert nulls.count() == 100
+    assert nulls.filter(F.col("bucket").isNotNull()).count() == 0
+    assert out.filter(F.col("v").isNotNull() & F.col("bucket").isNull()).count() == 0
