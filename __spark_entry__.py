@@ -218,6 +218,23 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup (the transcripts shape): documents
+    rolled into 100 synthetic conversations plus an exact planted copy of
+    each; sequences ordered by turn index collapse to md5 digests (32-byte
+    shuffle keys, never full texts), duplicate classes grouped on the
+    digest.  DuckDB reproduces every (canonical, n_groups) row exactly via
+    ordered string_agg + md5."""
+    from poppy_spark.spark.dedup import ordered_group_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    convs = docs.select(
+        (F.col("doc_id") % 100).alias("conv"), F.col("doc_id").alias("idx"), "text"
+    )
+    both = convs.unionAll(convs.select(F.col("conv") + 10_000, "idx", "text"))
+    return ordered_group_duplicates(both, "conv", "idx", "text")
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL-driven equal-mass bucketing of event values into 8 shards: two
     passes, zero row shuffles (states-only build + CASE projection).  Gate:
@@ -1360,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users": q_topk_users,
         "topk_ngrams": q_topk_ngrams,
         "quantile_buckets": q_quantile_buckets,
+        "conversation_dedup": q_conversation_dedup,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1657,6 +1675,16 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
         ),
+        "conversation_dedup": r"""
+WITH convs AS (
+  SELECT doc_id % 100 AS conv, doc_id AS idx, text FROM documents
+  UNION ALL
+  SELECT doc_id % 100 + 10000, doc_id, text FROM documents
+), seq AS (
+  SELECT conv, md5(string_agg(text, chr(31) ORDER BY idx, text)) AS digest
+  FROM convs GROUP BY conv
+)
+SELECT MIN(conv) AS canonical, COUNT(*) AS n_groups FROM seq GROUP BY digest""",
         "quantile_buckets": (
             "SELECT b.bucket, TRUE AS within_tol, "
             "(SELECT COUNT(*) FROM events) AS n_total "

@@ -446,3 +446,50 @@ def drop_transitive_duplicates(
     comp = duplicate_components(pairs, id_a, id_b)
     losers = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def ordered_group_duplicates(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Whole-GROUP (e.g. whole-conversation) exact dedup: two groups are
+    duplicates when their ``text_col`` sequences, ordered by ``order_col``,
+    are identical element-for-element.
+
+    Returns one row per duplicate-class: ``(canonical, n_groups)`` with
+    ``canonical`` = the smallest ``group_col`` value in the class and
+    ``n_groups`` its member count (classes of size 1 included — filter
+    ``n_groups > 1`` for strict duplicates).
+
+    Physical shape: one shuffle keyed by the group id (task memory bounded
+    by the largest single group — a conversation's own turns), the ordered
+    concatenation collapses to an md5 hex digest immediately, and the
+    second shuffle groups 32-byte digests, never full texts.  md5 is
+    engine-portable, so ANSI-SQL engines reproduce the classes exactly
+    (DuckDB: ``md5(string_agg(text, chr(31) ORDER BY ord))``).  Ties in
+    ``order_col`` are broken by the text itself, keeping the digest
+    deterministic under any partitioning.
+    """
+    seq = df.groupBy(group_col).agg(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(order_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            )
+        ).alias("__digest")
+    )
+    return (
+        seq.groupBy("__digest")
+        .agg(
+            F.min(group_col).alias("canonical"),
+            F.count("*").alias("n_groups"),
+        )
+        .select("canonical", "n_groups")
+    )

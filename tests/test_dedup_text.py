@@ -587,3 +587,59 @@ def test_ivf_ignores_null_embeddings(spark):
     rows = got.collect()
     assert rows  # no crash on NULL vectors
     assert all(r["id"] not in (200, 201) for r in rows)
+
+
+class TestOrderedGroupDedup:
+    def test_order_insensitive_input_order_sensitive_sequence(self, spark):
+        from poppy_spark.spark.dedup import ordered_group_duplicates
+
+        rows = [
+            (1, 0, "hello"), (1, 1, "world"),
+            (2, 0, "hello"), (2, 1, "world"),     # dup of 1
+            (3, 1, "world"), (3, 0, "hello"),     # same after idx ordering
+            (4, 0, "world"), (4, 1, "hello"),     # REVERSED sequence: distinct
+            (5, 0, "helloworld"),                 # boundary must not collide
+        ]
+        df = spark.createDataFrame(rows, "conv long, idx int, text string")
+        got = {
+            r["canonical"]: r["n_groups"]
+            for r in ordered_group_duplicates(df, "conv", "idx", "text").collect()
+        }
+        assert got == {1: 3, 4: 1, 5: 1}
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from poppy_spark.spark.dedup import ordered_group_duplicates
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        convs = docs.select(
+            (F.col("doc_id") % 100).alias("conv"), F.col("doc_id").alias("idx"), "text"
+        )
+        both = convs.unionAll(convs.select(F.col("conv") + 10_000, "idx", "text"))
+        got = sorted(
+            (r["canonical"], r["n_groups"])
+            for r in ordered_group_duplicates(both, "conv", "idx", "text").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = sorted(
+            con.sql(
+                """
+WITH convs AS (
+  SELECT doc_id % 100 AS conv, doc_id AS idx, text FROM documents
+  UNION ALL
+  SELECT doc_id % 100 + 10000, doc_id, text FROM documents
+), seq AS (
+  SELECT conv, md5(string_agg(text, chr(31) ORDER BY idx, text)) AS digest
+  FROM convs GROUP BY conv
+)
+SELECT MIN(conv) AS canonical, COUNT(*) AS n_groups FROM seq GROUP BY digest
+"""
+            ).fetchall()
+        )
+        assert got == want
+        assert all(n == 2 for _, n in got)  # every planted copy found
