@@ -218,6 +218,26 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with planted emails/IPs/phones on every
+    5th/7th/11th doc: chained JVM regexp_replace (codegen, no shuffle), and
+    every pattern is Java-regex/RE2-portable, so DuckDB reproduces the
+    scrubbed text and the pii_found flag byte-for-byte."""
+    from poppy_spark.spark.text import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" contact bob.smith@corp.example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.1.2.3")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 415-555-0199")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(planted, "text").select("doc_id", "text", "pii_found")
+
+
 def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-conversation exact dedup (the transcripts shape): documents
     rolled into 100 synthetic conversations plus an exact planted copy of
@@ -1378,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ngrams": q_topk_ngrams,
         "quantile_buckets": q_quantile_buckets,
         "conversation_dedup": q_conversation_dedup,
+        "scrub_pii": q_scrub_pii,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1675,6 +1696,22 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
         ),
+        "scrub_pii": r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0 THEN ' contact bob.smith@corp.example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.1.2.3' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0199' ELSE '' END AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, text AS orig,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      '(?:\+?[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}', '<PHONE>', 'g') AS text
+  FROM planted
+)
+SELECT doc_id, text, text <> orig AS pii_found FROM scrubbed""",
         "conversation_dedup": r"""
 WITH convs AS (
   SELECT doc_id % 100 AS conv, doc_id AS idx, text FROM documents

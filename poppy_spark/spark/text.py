@@ -257,6 +257,47 @@ def repetition_stats(
     )
 
 
+#: conservative, engine-portable PII patterns (valid in both Java regex and
+#: RE2): applied in declaration order — emails first so their host parts
+#: are gone before the IP pass.  The IP pattern does not range-check
+#: octets (999.1.1.1 redacts too — over-redaction is the safe direction
+#: for a training-corpus scrubber).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(?:\+?[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}",
+        "<PHONE>",
+    ),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    output_col: str | None = None,
+    flag_col: str = "pii_found",
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers with typed
+    placeholders, plus a ``pii_found`` flag — the standard pre-training
+    scrub pass.  Chained JVM ``regexp_replace`` (whole-stage codegen, no
+    shuffle, no Python), and every pattern is portable between Java regex
+    and RE2, so ANSI engines reproduce the scrubbed text byte-for-byte
+    (the oracle row pins this).  ``output_col`` defaults to replacing
+    ``text_col`` in place."""
+    out = output_col or text_col
+    expr = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return (
+        df.withColumn("__scrubbed", expr)
+        .withColumn(flag_col, F.col("__scrubbed") != F.col(text_col))
+        .drop(out)
+        .withColumnRenamed("__scrubbed", out)
+    )
+
+
 def document_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Corpus document frequency: one row per distinct word with the count
     of documents containing it — the vocabulary-statistics primitive under

@@ -643,3 +643,30 @@ SELECT MIN(conv) AS canonical, COUNT(*) AS n_groups FROM seq GROUP BY digest
         )
         assert got == want
         assert all(n == 2 for _, n in got)  # every planted copy found
+
+
+class TestScrubPii:
+    def test_redaction_and_flag(self, spark):
+        from poppy_spark.spark.text import scrub_pii
+
+        rows = [
+            (1, "mail me at john.doe+spam@example.co.uk or x@y.io asap"),
+            (2, "server 192.168.001.1 and 8.8.8.8"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "no pii here, just words 123 and v2.0"),
+            (5, "a@b is not an email"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["text"], r["pii_found"]) for r in scrub_pii(df, "text").collect()}
+        assert got[1] == ("mail me at <EMAIL> or <EMAIL> asap", True)
+        assert got[2] == ("server <IP> and <IP>", True)
+        assert got[3] == ("call <PHONE> now", True)
+        assert got[4] == ("no pii here, just words 123 and v2.0", False)
+        assert got[5] == ("a@b is not an email", False)
+
+    def test_separate_output_column(self, spark):
+        from poppy_spark.spark.text import scrub_pii
+
+        df = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+        r = scrub_pii(df, "text", output_col="clean").first()
+        assert r["text"] == "x@y.io" and r["clean"] == "<EMAIL>" and r["pii_found"]
