@@ -218,6 +218,29 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (C4/RefinedWeb-style) with a planted
+    boilerplate footer on every 3rd document: the globally smallest
+    (doc_id, line index) occurrence of each line survives, every later
+    copy is removed, and documents are rebuilt in order.  Shuffle keys are
+    md5 digests, never repeated line text.  DuckDB reproduces every
+    rebuilt document byte-for-byte."""
+    from poppy_spark.spark.dedup import line_dedup_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter for updates"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return line_dedup_corpus(planted, "text", "doc_id")
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with planted emails/IPs/phones on every
     5th/7th/11th doc: chained JVM regexp_replace (codegen, no shuffle), and
@@ -1399,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_buckets": q_quantile_buckets,
         "conversation_dedup": q_conversation_dedup,
         "scrub_pii": q_scrub_pii,
+        "line_dedup": q_line_dedup,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1696,6 +1720,28 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
         ),
+        "line_dedup": r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 = 0
+      THEN chr(10) || 'subscribe to our newsletter for updates' ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, (generate_subscripts(l, 1) - 1)::BIGINT AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, str_split(text, chr(10)) AS l FROM planted)
+), ranked AS (
+  SELECT doc_id, pos, line,
+    CASE WHEN length(trim(line)) < 1 THEN 1
+         ELSE row_number() OVER (PARTITION BY CASE WHEN length(trim(line)) >= 1 THEN md5(line) END
+                                 ORDER BY doc_id, pos) END AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, coalesce(r.text, '') AS text
+FROM planted p LEFT JOIN rebuilt r USING (doc_id)""",
         "scrub_pii": r"""
 WITH planted AS (
   SELECT doc_id,

@@ -493,3 +493,66 @@ def ordered_group_duplicates(
         )
         .select("canonical", "n_groups")
     )
+
+
+def line_dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 1,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb-style pass): every
+    line that appears anywhere earlier in the corpus is removed, where
+    "earlier" means the globally smallest ``(doc id, line index)``
+    occurrence — a deterministic total order, so the output is a pure
+    function of the data.  Lines shorter than ``min_chars`` (after trim)
+    are kept verbatim (blank separators, bullets).
+
+    Physical shape: one explode of (id, line index, line), the global
+    first-occurrence argmin grouped on ``md5(line)`` (32-byte shuffle
+    keys, never repeated full lines — also what keeps a hot boilerplate
+    line from shipping its text a million times), a join back on the
+    digest, and a per-doc ``sort_array`` + ``concat_ws`` rebuild.  Every
+    stage is partially aggregated or keyed by doc; the only corpus-global
+    state is the per-digest argmin.
+
+    Returns ``(id_col, output_col)`` with ``output_col`` defaulting to
+    ``text_col``; docs whose every line was removed come back as ''.
+    """
+    out = output_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    )
+    keep_small = F.length(F.trim(F.col("__line"))) < min_chars
+    candidates = lines.withColumn("__digest", F.md5(F.col("__line")))
+    first = (
+        candidates.filter(~keep_small)
+        .groupBy("__digest")
+        .agg(F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"))
+    )
+    kept = candidates.join(first, "__digest", "left").filter(
+        keep_small
+        | (
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__line")))),
+                lambda s: s["__line"],
+            ),
+        ).alias(out)
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col(out), F.lit("")).alias(out),
+        )
+    )

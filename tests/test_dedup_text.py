@@ -670,3 +670,47 @@ class TestScrubPii:
         df = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
         r = scrub_pii(df, "text", output_col="clean").first()
         assert r["text"] == "x@y.io" and r["clean"] == "<EMAIL>" and r["pii_found"]
+
+
+class TestLineDedupCorpus:
+    def test_global_first_occurrence_wins(self, spark):
+        from poppy_spark.spark.dedup import line_dedup_corpus
+
+        rows = [
+            (1, "alpha beta\ncommon footer line\ngamma"),
+            (2, "delta\ncommon footer line\nepsilon"),
+            (3, "common footer line"),
+            (4, "zeta\n\nzeta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup_corpus(df, "text", "doc_id").collect()
+        }
+        assert got[1] == "alpha beta\ncommon footer line\ngamma"
+        assert got[2] == "delta\nepsilon"
+        assert got[3] == ""  # all lines were seen earlier
+        assert got[4] == "zeta\n"  # in-doc repeat dropped, blank kept
+
+    def test_min_chars_keeps_short_lines(self, spark):
+        from poppy_spark.spark.dedup import line_dedup_corpus
+
+        rows = [(1, "- item\nbody text"), (2, "- item\nother body")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup_corpus(df, "text", "doc_id", min_chars=10).collect()
+        }
+        # '- item' (6 chars) is under min_chars: kept verbatim in BOTH docs
+        assert got[1] == "- item\nbody text"
+        assert got[2] == "- item\nother body"
+
+    def test_layout_invariant(self, spark):
+        from poppy_spark.spark.dedup import line_dedup_corpus
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, line_dedup_corpus(docs, "text", "doc_id").collect()))
+        b = sorted(
+            map(tuple, line_dedup_corpus(docs.repartition(13), "text", "doc_id").collect())
+        )
+        assert a == b  # argmin over (id, pos) is a total order: layout-proof
