@@ -218,6 +218,42 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-stat-family table profile of events: exact counts /
+    nulls / min / max (JVM aggregate, reproduced exactly by DuckDB) plus
+    HLL distinct and KLL median gated within their published bounds — two
+    scans for any column count, the 100 TB profiling shape."""
+    from poppy_spark.spark.profile import profile_table
+
+    events = _read(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    prof = profile_table(events, cols)
+    exact = events.agg(
+        *[F.countDistinct(c).alias(f"d:{c}") for c in cols],
+        F.expr("percentile(value, 0.5)").alias("p50v"),
+    ).first()
+    rows = []
+    for r in prof.collect():
+        c = r["column"]
+        d_exact = exact[f"d:{c}"]
+        d_ok = abs(r["distinct_est"] - d_exact) <= max(3.0, 5 * 1.04 / 128 * d_exact)
+        p_ok = (
+            abs(r["p50"] - exact["p50v"]) <= 0.06 * max(abs(exact["p50v"]), 1.0)
+            if c == "value"
+            else r["p50"] is None or c != "value"
+        )
+        rows.append(
+            (c, r["n_rows"], r["n_nulls"], r["min_num"], r["max_num"],
+             r["min_str"], r["max_str"], bool(d_ok), bool(p_ok))
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, min_num double, "
+        "max_num double, min_str string, max_str string, "
+        "distinct_in_bound boolean, p50_in_bound boolean",
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line-level dedup (C4/RefinedWeb-style) with a planted
     boilerplate footer on every 3rd document: the globally smallest
@@ -1423,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_dedup": q_conversation_dedup,
         "scrub_pii": q_scrub_pii,
         "line_dedup": q_line_dedup,
+        "profile_events": q_profile_events,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1720,6 +1757,20 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
         ),
+        "profile_events": r"""
+SELECT c.column,
+  (SELECT COUNT(*) FROM events) AS n_rows,
+  CAST(0 AS BIGINT) AS n_nulls,
+  CASE c.column WHEN 'event_id' THEN (SELECT MIN(event_id)::DOUBLE FROM events)
+                WHEN 'user_id' THEN (SELECT MIN(user_id)::DOUBLE FROM events)
+                WHEN 'value' THEN (SELECT MIN(value)::DOUBLE FROM events) END AS min_num,
+  CASE c.column WHEN 'event_id' THEN (SELECT MAX(event_id)::DOUBLE FROM events)
+                WHEN 'user_id' THEN (SELECT MAX(user_id)::DOUBLE FROM events)
+                WHEN 'value' THEN (SELECT MAX(value)::DOUBLE FROM events) END AS max_num,
+  CASE c.column WHEN 'event_type' THEN (SELECT MIN(event_type) FROM events) END AS min_str,
+  CASE c.column WHEN 'event_type' THEN (SELECT MAX(event_type) FROM events) END AS max_str,
+  TRUE AS distinct_in_bound, TRUE AS p50_in_bound
+FROM (SELECT unnest(['event_id','user_id','event_type','value']) AS column) c""",
         "line_dedup": r"""
 WITH planted AS (
   SELECT doc_id,
