@@ -233,6 +233,34 @@ def main() -> None:
         ).count(),
     )
 
+    from poppy_spark.spark.dedup import line_dedup_corpus, ordered_group_duplicates
+    from poppy_spark.spark.profile import profile_table
+    from poppy_spark.spark.text import scrub_pii
+
+    bench(
+        "line_dedup_docs",
+        lambda: line_dedup_corpus(docs, "text", "doc_id")
+        .agg(F.sum(F.length("text"))).collect(),
+    )
+    convs = docs.select(
+        (F.col("doc_id") % 500).alias("conv"), F.col("doc_id").alias("idx"), "text"
+    )
+    bench(
+        "conv_dedup_docs",
+        lambda: ordered_group_duplicates(convs, "conv", "idx", "text").count(),
+    )
+    bench(
+        "scrub_docs",
+        lambda: scrub_pii(docs, "text")
+        .agg(F.sum(F.col("pii_found").cast("long"))).collect(),
+    )
+    bench(
+        "profile_events",
+        lambda: profile_table(
+            events, ["event_id", "user_id", "event_type", "value"]
+        ).count(),
+    )
+
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)
