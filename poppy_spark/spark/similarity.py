@@ -178,20 +178,23 @@ def ivf_train_centroids(
     return cents
 
 
-def _ivf_cells_udf(centroids: np.ndarray, n_probe: int):
+def _ivf_cells_udf(spark, centroids: np.ndarray, n_probe: int):
     """Arrow-batched pandas UDF: normalized vector -> its ``n_probe``
-    nearest centroid ids (by dot product).  One matmul per 16k-row batch
-    against the broadcast centroid matrix — no per-row Python."""
+    nearest centroid ids (by dot product).  One matmul per 16k-row batch.
+    The centroid matrix travels as a Spark BROADCAST variable (shipped to
+    each executor once, torrent-distributed), not inside the pickled UDF
+    closure — a 4096x768 float64 quantizer is ~25 MB, which a per-task
+    closure would re-ship with every task."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cT = centroids.T.copy()
+    bc = spark.sparkContext.broadcast(centroids.T.copy())
     k = centroids.shape[0]
     p = min(n_probe, k)
 
     def cells(vecs):
         x = np.asarray(vecs.tolist(), dtype=np.float64)
-        scores = x @ cT
+        scores = x @ bc.value
         top = np.argpartition(-scores, p - 1, axis=1)[:, :p]
         # stable probe order: best centroid first
         row_scores = np.take_along_axis(scores, top, axis=1)
@@ -247,11 +250,12 @@ def ivf_topk(
         .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
         .filter(F.col("qv").isNotNull())
     )
+    spark = corpus.sparkSession
     c_cells = c.withColumn(
-        "cell", _ivf_cells_udf(centroids, 1)(F.col("cv"))[0]
+        "cell", _ivf_cells_udf(spark, centroids, 1)(F.col("cv"))[0]
     )
     q_cells = q.withColumn(
-        "cell", F.explode(_ivf_cells_udf(centroids, n_probe)(F.col("qv")))
+        "cell", F.explode(_ivf_cells_udf(spark, centroids, n_probe)(F.col("qv")))
     )
     # (query_id, id) pairs are unique by construction — one cell per corpus
     # vector, distinct probe cells per query — so no dedup shuffle is needed
