@@ -855,6 +855,19 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "purchase_id")
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count/sum/avg of event value per user: one
+    key-hash shuffle + in-partition sort, RANGE framing over integer
+    microseconds — closed-form, so DuckDB reproduces every row."""
+    from poppy_spark.spark.sessions import rolling_agg
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _read(spark, sf_dir, "events")
+    return rolling_agg(events, "user_id", "ts", "value", 3600).select(
+        "event_id", "user_id", "w_count", "w_sum", "w_avg"
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h gap) of the events stream per user,
     rolled up to per-session stats — closed-form window expressions, so
@@ -1441,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "duplicate_components": q_duplicate_components,
         "sessionize_events": q_sessionize_events,
+        "rolling_agg": q_rolling_agg,
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
         "decontaminate_eval": q_decontaminate_eval,
@@ -1756,6 +1770,12 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
+        ),
+        "rolling_agg": (
+            "SELECT event_id, user_id, COUNT(value) OVER w AS w_count, "
+            "SUM(value) OVER w AS w_sum, AVG(value) OVER w AS w_avg FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         "profile_events": r"""
 SELECT c.column,

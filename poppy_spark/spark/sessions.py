@@ -68,3 +68,41 @@ def session_stats(
             / F.lit(1_000_000)
         ).cast("long").alias("duration_sec"),
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    prefix: str = "w_",
+) -> DataFrame:
+    """Trailing event-time rolling aggregates per key: for every row, the
+    count / sum / mean of ``value_col`` over the last ``window_seconds``
+    of the SAME key (inclusive of the current row and of ties at the same
+    microsecond) — the rate/feature shape for event and transcript streams
+    ("tool calls in the last hour", "mean turn length over 5 minutes").
+
+    Pure window expressions over a microsecond-integer event time: one
+    shuffle (hash by key) + one in-partition sort, whole-stage codegen, no
+    Python.  RANGE framing on integer microseconds makes the semantics
+    closed-form, so any ANSI engine reproduces every row (DuckDB: ``RANGE
+    BETWEEN N PRECEDING AND CURRENT ROW`` over ``epoch_us(ts)``).  Skewed
+    keys concentrate in one task like every per-key window — pre-split a
+    pathological key or bound it upstream.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn(f"{prefix}count", F.count(v).over(w))
+        .withColumn(f"{prefix}sum", F.sum(v).over(w))
+        .withColumn(f"{prefix}avg", F.avg(v).over(w))
+    )

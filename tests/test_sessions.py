@@ -56,3 +56,36 @@ class TestSessionize:
         df = spark.createDataFrame([("u", 0)], "user string, t bigint")
         with pytest.raises(ValueError):
             sessionize(df, "user", "t", gap_seconds=0)
+
+
+class TestRollingAgg:
+    def test_known_window_membership(self, spark):
+        from poppy_spark.spark.sessions import rolling_agg
+
+        rows = [
+            ("u", "2024-01-01 00:00:00", 1.0),
+            ("u", "2024-01-01 00:00:30", 2.0),
+            ("u", "2024-01-01 00:01:00", 4.0),   # 60s window: all three
+            ("u", "2024-01-01 00:02:01", 8.0),   # only itself (61s after #3)
+            ("v", "2024-01-01 00:00:10", 100.0), # other key: independent
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string, value double")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r["k"], str(r["ts"])): (r["w_count"], r["w_sum"])
+            for r in rolling_agg(df, "k", "ts", "value", 60).collect()
+        }
+        assert got[("u", "2024-01-01 00:00:00")] == (1, 1.0)
+        assert got[("u", "2024-01-01 00:00:30")] == (2, 3.0)
+        assert got[("u", "2024-01-01 00:01:00")] == (3, 7.0)  # inclusive bound
+        assert got[("u", "2024-01-01 00:02:01")] == (1, 8.0)
+        assert got[("v", "2024-01-01 00:00:10")] == (1, 100.0)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from poppy_spark.spark.sessions import rolling_agg
+
+        df = spark.createDataFrame([("u", "2024-01-01", 1.0)], "k string, ts string, value double")
+        with _pytest.raises(ValueError):
+            rolling_agg(df, "k", "ts", "value", 0)
