@@ -218,6 +218,41 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bucket-range-sharded Bloom filter PER GROUP (per event_type):
+    build shuffles index tuples keyed by (group, shard) and each task
+    materializes one shard at a time; probe cogroups on (group, shard).
+    Gate: zero FN per group, a never-built group answers all-False, and
+    every group's reassembled shards are byte-identical to a one-shot
+    classic build of that group."""
+    from poppy_spark.sketches import BloomSketch
+    from poppy_spark.spark.agg import build_sketch
+    from poppy_spark.spark.sharded import build_sharded_bloom_grouped
+
+    events = _read(spark, sf_dir, "events")
+    gsb = build_sharded_bloom_grouped(
+        events, "user_id", "event_type", capacity=50_000, fpp=0.001, n_shards=4
+    )
+    probed = gsb.contains(events.select("event_type", "user_id"), "user_id")
+    n_missed = probed.filter(~F.col("hit")).count()
+    ghost = events.select(F.lit("no-such-type").alias("event_type"), "user_id")
+    n_ghost = gsb.contains(ghost, "user_id").filter("hit").count()
+    groups = [r[0] for r in events.select("event_type").distinct().collect()]
+    bytes_equal = all(
+        gsb.reassemble_group(g)
+        == build_sketch(
+            events.filter(F.col("event_type") == g),
+            "user_id",
+            BloomSketch.factory(50_000, 0.001),
+        ).dumps()
+        for g in sorted(groups)
+    )
+    return spark.createDataFrame(
+        [(len(groups), n_missed, n_ghost, bool(bytes_equal))],
+        "n_groups bigint, n_missed bigint, n_ghost_hits bigint, bytes_equal boolean",
+    )
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass-per-stat-family table profile of events: exact counts /
     nulls / min / max (JVM aggregate, reproduced exactly by DuckDB) plus
@@ -1474,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "line_dedup": q_line_dedup,
         "profile_events": q_profile_events,
+        "grouped_sharded_bloom": q_grouped_sharded_bloom,
         "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_survivors": q_dedup_survivors,
@@ -1770,6 +1806,10 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
             "GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10"
+        ),
+        "grouped_sharded_bloom": (
+            "SELECT COUNT(DISTINCT event_type) AS n_groups, CAST(0 AS BIGINT) AS n_missed, "
+            "CAST(0 AS BIGINT) AS n_ghost_hits, TRUE AS bytes_equal FROM events"
         ),
         "rolling_agg": (
             "SELECT event_id, user_id, COUNT(value) OVER w AS w_count, "

@@ -425,8 +425,9 @@ def build_sketch_grouped(
     flushed as partial rows and cleared — phase 2 merges per group anyway,
     so multiple partials per (partition, group) are free.  High-cardinality
     group keys therefore cost extra merge rows, never worker memory.  For
-    per-group filters individually too large for one task, build one
-    :class:`poppy_spark.spark.sharded.ShardedBloom` per group instead.
+    per-group filters individually too large for one task, use
+    :func:`poppy_spark.spark.sharded.build_sharded_bloom_grouped` — one
+    bucket-range-sharded filter per group, task memory = one shard.
     """
     group_cols = list(group_cols)
     sel = df.select(*group_cols, _key_expr(df, col, factory, int_keys).alias("__key__"))

@@ -806,3 +806,208 @@ def build_sharded_bloom(
     if persist:
         states = states.persist()
     return ShardedBloom(p, states)
+
+
+class GroupedShardedBloom:
+    """Per-GROUP bucket-range-sharded poppy v2 filters: one logical filter
+    per group value, each physically split into bucket-range shards, all
+    held as rows of one ``(group, shard_id, state, n_rows)`` DataFrame.
+
+    This closes the shape ``build_sketch_grouped``'s memory guard points
+    at: a grouped build whose per-group filter is too big for
+    groups-seen x state-bytes per task.  Here the build shuffles ~(12+2k)-
+    byte index tuples keyed by (group, shard) and each task materializes
+    ONE (group, shard) slice at a time (``applyInArrow``), so task memory
+    is a single shard regardless of group count or filter size; the probe
+    cogroups on (group, shard), so each shard state crosses the wire once
+    per batch.
+
+    All groups share one sizing (``capacity`` / ``fpp`` per group) — the
+    params ARE the merge-compatibility contract, exactly like
+    ``has_same_params`` gates poppy unions (``poppy/src/bloom.rs``).
+    """
+
+    def __init__(self, params: _Params, group_col: str, states: DataFrame):
+        self.params = params
+        self.group_col = group_col
+        self.states = states
+
+    def contains(
+        self,
+        df: DataFrame,
+        col: str,
+        output_col: str = "hit",
+        int_keys: str = "string",
+    ) -> DataFrame:
+        """Append ``output_col``: is ``col`` a member of ITS OWN row's
+        group filter?  Groups never built probe all-False (nothing was
+        inserted).  Single shuffle, columns carried through the cogroup —
+        no join-back."""
+        import pyspark.sql.types as T
+
+        from poppy_spark.spark.agg import _as_key, decompress_blob
+
+        p = self.params
+        g = self.group_col
+        int_mode = _INT_MODE[int_keys]
+        in_cols = list(df.columns)
+        keyed = df.select("*", _as_key(df, col, int_keys).alias("__key"))
+
+        def index_fn(batches):
+            for b in batches:
+                shard, ib, idx, _ = _route_batch(
+                    b.column(b.num_columns - 1), p, dedup=False, int_mode=int_mode
+                )
+                cols = [b.column(i) for i in range(b.num_columns - 1)]
+                yield pa.RecordBatch.from_arrays(
+                    cols + [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
+                    in_cols + ["__shard_id", "__ib", "__idx"],
+                )
+
+        route_schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("__shard_id", T.IntegerType()),
+                T.StructField("__ib", T.LongType()),
+                T.StructField("__idx", T.BinaryType()),
+            ]
+        )
+        tuples = keyed.mapInArrow(index_fn, route_schema)
+        states = self.states.withColumnRenamed("shard_id", "__shard_id")
+        k, bps = p.n_hash_buck, p.bps
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(output_col, T.BooleanType())]
+        )
+
+        def check(left: pa.Table, right: pa.Table) -> pa.Table:
+            keep = left.select(in_cols)
+            n = left.num_rows
+            if n == 0:
+                return keep.append_column(output_col, pa.array([], pa.bool_()))
+            if right.num_rows == 0:  # group never built or shard untouched
+                return keep.append_column(output_col, pa.array(np.zeros(n, dtype=bool)))
+            buckets = np.frombuffer(
+                decompress_blob(right.column("state")[0].as_py()), dtype=np.uint8
+            )
+            shard_id = int(right.column("__shard_id")[0].as_py())
+            ib_local = left.column("__ib").to_numpy(zero_copy_only=False) - shard_id * bps
+            idx = _binary_to_idx(left.column("__idx"), k)
+            bit_ids = (
+                ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
+            )[:, None] + idx.astype(np.uint64)
+            flat = bit_ids.reshape(-1)
+            byte_off = (flat >> np.uint64(3)).astype(np.int64)
+            bitmask = (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+            hit = ((buckets[byte_off] & bitmask) != 0).reshape(-1, k).all(axis=1)
+            return keep.append_column(output_col, pa.array(hit))
+
+        return (
+            tuples.groupBy(g, "__shard_id")
+            .cogroup(states.groupBy(g, "__shard_id"))
+            .applyInArrow(check, out_schema)
+        )
+
+    def semi_join(self, df: DataFrame, col: str) -> DataFrame:
+        return self.contains(df, col, "__hit__").filter(F.col("__hit__")).drop("__hit__")
+
+    def reassemble_group(self, group_value) -> bytes:
+        """One group's shards OR'd into a complete poppy v2 file (bytes).
+        Collect-based: intended for tests/export of a single group."""
+        from poppy_spark.core.v2 import BloomV2
+        from poppy_spark.spark.agg import decompress_blob
+
+        p = self.params
+        rows = self.states.filter(F.col(self.group_col) == group_value).collect()
+        buckets = np.zeros(p.n_buckets * BUCKET_SIZE, dtype=np.uint8)
+        for r in rows:
+            lo = int(r["shard_id"]) * p.bps * BUCKET_SIZE
+            v = np.frombuffer(decompress_blob(bytes(r["state"])), dtype=np.uint8)
+            buckets[lo : lo + v.size] = v
+        filt = BloomV2(p.capacity, p.fpp, p.n_hash_buck, p.n_buckets, 0, 0, buckets)
+        filt.update_count()
+        return filt.dumps()
+
+
+def build_sharded_bloom_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    capacity: int,
+    fpp: float = 0.001,
+    n_shards: int | None = None,
+    target_shard_bytes: int = 64 << 20,
+    persist: bool = True,
+    int_keys: str = "string",
+) -> GroupedShardedBloom:
+    """Distributed build of one bucket-range-sharded v2 filter PER GROUP,
+    sized ``capacity``/``fpp`` each.  Shuffle carries index tuples keyed
+    by (group, shard); each task materializes one (group, shard) slice at
+    a time, so task memory = one shard's bytes regardless of group count."""
+    import pyspark.sql.types as T
+
+    from poppy_spark.spark.agg import _as_key, compress_blob
+
+    total_buckets = math.ceil(capacity / cap_from_bit_size(BUCKET_BITS, fpp))
+    if n_shards is None:
+        n_shards = max(1, math.ceil(total_buckets * BUCKET_SIZE / target_shard_bytes))
+    p = _Params.make(capacity, fpp, n_shards)
+    int_mode = _INT_MODE[int_keys]
+
+    gfield = df.schema[group_col]
+    keyed = df.select(F.col(group_col), _as_key(df, col, int_keys).alias("__key"))
+
+    def index_fn(batches):
+        for b in batches:
+            shard, ib, idx, _ = _route_batch(b.column(1), p, dedup=False, int_mode=int_mode)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
+                [group_col, "shard_id", "ib", "idx"],
+            )
+
+    route_schema = T.StructType(
+        [
+            gfield,
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("ib", T.LongType()),
+            T.StructField("idx", T.BinaryType()),
+        ]
+    )
+    tuples = keyed.mapInArrow(index_fn, route_schema)
+    k, bps, n_buckets = p.n_hash_buck, p.bps, p.n_buckets
+    state_schema = T.StructType(
+        [
+            gfield,
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("state", T.BinaryType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+
+    def build_fn(tbl: pa.Table) -> pa.Table:
+        s = int(tbl.column("shard_id")[0].as_py())
+        nb = min(bps, n_buckets - s * bps)
+        arr = np.zeros(nb * BUCKET_SIZE, dtype=np.uint8)
+        ib = tbl.column("ib").to_numpy(zero_copy_only=False)
+        idx = _binary_to_idx(tbl.column("idx"), k)
+        _or_bits_into(arr, ib - s * bps, idx)
+        return pa.Table.from_arrays(
+            [
+                tbl.column(group_col).slice(0, 1),
+                pa.array([s], pa.int32()),
+                pa.array([compress_blob(arr.tobytes())], pa.binary()),
+                pa.array([tbl.num_rows], pa.int64()),
+            ],
+            schema=pa.schema(
+                [
+                    tbl.schema.field(group_col),
+                    pa.field("shard_id", pa.int32()),
+                    pa.field("state", pa.binary()),
+                    pa.field("n_rows", pa.int64()),
+                ]
+            ),
+        )
+
+    states = tuples.groupBy(group_col, "shard_id").applyInArrow(build_fn, state_schema)
+    if persist:
+        states = states.persist()
+    return GroupedShardedBloom(p, group_col, states)

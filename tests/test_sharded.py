@@ -357,3 +357,53 @@ class TestProbeStrategyAuto:
         assert raw1 is not None
         sharded.contains(keys_df, "k", "hit", strategy="broadcast").count()
         assert sharded._poppy_cache is raw1
+
+
+class TestGroupedSharded:
+    def test_zero_fn_and_group_isolation(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sharded import build_sharded_bloom_grouped
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        gsb = build_sharded_bloom_grouped(
+            ev, "user_id", "event_type", capacity=5_000, fpp=0.001, n_shards=4
+        )
+        probed = gsb.contains(ev.select("event_type", "user_id"), "user_id")
+        assert probed.filter(~F.col("hit")).count() == 0  # zero FN
+        # a group never built answers all-False
+        ghost = ev.select(F.lit("no-such-type").alias("event_type"), "user_id")
+        assert gsb.contains(ghost, "user_id").filter("hit").count() == 0
+
+    def test_group_reassembly_byte_equals_classic_build(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.sketches import BloomSketch
+        from poppy_spark.spark.agg import build_sketch
+        from poppy_spark.spark.sharded import build_sharded_bloom_grouped
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        gsb = build_sharded_bloom_grouped(
+            ev, "user_id", "event_type", capacity=5_000, fpp=0.001, n_shards=4
+        )
+        for gval in ["click", "view"]:
+            one = ev.filter(F.col("event_type") == gval)
+            single = build_sketch(one, "user_id", BloomSketch.factory(5_000, 0.001))
+            assert gsb.reassemble_group(gval) == single.dumps()
+
+    def test_task_memory_is_one_shard(self, spark):
+        from poppy_spark.spark.sharded import build_sharded_bloom_grouped
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        gsb = build_sharded_bloom_grouped(
+            ev, "user_id", "event_type", capacity=5_000, fpp=0.001, n_shards=4
+        )
+        from poppy_spark.spark.agg import decompress_blob
+
+        p = gsb.params
+        for r in gsb.states.collect():
+            nb = min(p.bps, p.n_buckets - r["shard_id"] * p.bps)
+            # every persisted state is exactly one shard's bucket range
+            from poppy_spark.core.statekern import BUCKET_SIZE
+
+            assert len(decompress_blob(bytes(r["state"]))) == nb * BUCKET_SIZE
