@@ -910,6 +910,53 @@ class GroupedShardedBloom:
     def semi_join(self, df: DataFrame, col: str) -> DataFrame:
         return self.contains(df, col, "__hit__").filter(F.col("__hit__")).drop("__hit__")
 
+    def union(self, other: "GroupedShardedBloom") -> "GroupedShardedBloom":
+        """Per-(group, shard) bitwise OR — poppy ``union_merge`` semantics
+        applied independently to every group's filter; groups present on
+        one side only pass through unchanged (OR with all-zero).  Same
+        vectorized two-sided combine as ``ShardedBloom._merge``, keyed by
+        (group, shard)."""
+        if self.params != other.params or self.group_col != other.group_col:
+            raise MergeError(
+                "cannot merge grouped sharded blooms with different parameters "
+                "or group columns"
+            )
+        import pyspark.sql.types as T
+
+        from poppy_spark.spark.agg import compress_blob, decompress_blob
+
+        g = self.group_col
+        a = self.states.withColumn("__src", F.lit(0))
+        b = other.states.withColumn("__src", F.lit(1))
+        both = a.unionByName(b)
+        gfield = [f for f in self.states.schema.fields if f.name == g][0]
+        out_schema = T.StructType(
+            [
+                gfield,
+                T.StructField("shard_id", T.IntegerType()),
+                T.StructField("state", T.BinaryType()),
+                T.StructField("n_rows", T.LongType()),
+            ]
+        )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            blobs = [
+                np.frombuffer(decompress_blob(raw), dtype=np.uint8)
+                for raw in pdf["state"]
+            ]
+            acc = _reduce_blobs(blobs, "or")
+            return pd.DataFrame(
+                {
+                    g: [pdf[g].iloc[0]],
+                    "shard_id": [int(pdf["shard_id"].iloc[0])],
+                    "state": [compress_blob(acc.tobytes())],
+                    "n_rows": [int(pdf["n_rows"].sum())],
+                }
+            )
+
+        merged = both.groupBy(g, "shard_id").applyInPandas(combine, out_schema)
+        return GroupedShardedBloom(self.params, g, merged)
+
     def reassemble_group(self, group_value) -> bytes:
         """One group's shards OR'd into a complete poppy v2 file (bytes).
         Collect-based: intended for tests/export of a single group."""

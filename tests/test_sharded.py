@@ -407,3 +407,19 @@ class TestGroupedSharded:
             from poppy_spark.core.statekern import BUCKET_SIZE
 
             assert len(decompress_blob(bytes(r["state"]))) == nb * BUCKET_SIZE
+
+    def test_grouped_union_matches_combined_build(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sharded import build_sharded_bloom_grouped
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        lo = ev.filter(F.col("user_id") % 2 == 0)
+        hi = ev.filter(F.col("user_id") % 2 == 1)
+        kw = dict(capacity=5_000, fpp=0.001, n_shards=4)
+        merged = build_sharded_bloom_grouped(lo, "user_id", "event_type", **kw).union(
+            build_sharded_bloom_grouped(hi, "user_id", "event_type", **kw)
+        )
+        full = build_sharded_bloom_grouped(ev, "user_id", "event_type", **kw)
+        for gval in ["click", "view"]:
+            assert merged.reassemble_group(gval) == full.reassemble_group(gval)
