@@ -218,6 +218,71 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _get_session(jobs: int):
+    from poppy_spark.spark.session import get_spark
+
+    return get_spark(
+        app_name="poppy-spark-cli", master=f"local[{jobs}]",
+        shuffle_partitions=max(jobs, 1),
+    )
+
+
+def cmd_profile(args) -> int:
+    """Beyond-reference: one-line-per-column data profile of a parquet
+    table (exact counts/nulls/min/max + HLL distinct + KLL median — two
+    scans at any width, ``spark/profile.py``)."""
+    import json
+
+    spark = _get_session(args.jobs)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        from poppy_spark.spark.profile import profile_table
+
+        df = spark.read.parquet(args.table)
+        cols = args.columns.split(",") if args.columns else None
+        for r in profile_table(df, cols).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    finally:
+        spark.stop()
+
+
+def cmd_clean(args) -> int:
+    """Beyond-reference: the composed corpus-cleaning pipeline (optional
+    PII scrub -> corpus line dedup -> exact doc dedup -> quality filter)
+    parquet-in, parquet-out, with a JSON summary line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    spark = _get_session(args.jobs)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        from poppy_spark.spark.dedup import drop_exact_duplicates, line_dedup_corpus
+        from poppy_spark.spark.text import quality_score, scrub_pii
+
+        df = spark.read.parquet(args.table)
+        n_in = df.count()
+        cur = df.select(args.id_col, args.text_col)
+        if args.scrub:
+            cur = scrub_pii(cur, args.text_col).drop("pii_found")
+        if args.line_dedup:
+            cur = line_dedup_corpus(cur, args.text_col, args.id_col)
+        cur = drop_exact_duplicates(cur, args.text_col, args.id_col)
+        if args.min_quality > 0:
+            cur = (
+                quality_score(cur, args.text_col)
+                .filter(F.col("quality") >= args.min_quality)
+                .select(args.id_col, args.text_col)
+            )
+        cur.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows_in": n_in, "rows_out": n_out, "out": args.out}))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="poppy_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +321,23 @@ def main(argv=None) -> int:
     b.add_argument("--fp-tol", type=float, default=0.2)
     b.add_argument("files", nargs="+")
     b.set_defaults(fn=cmd_bench)
+
+    pr = sub.add_parser("profile", help="per-column table profile (beyond-reference)")
+    pr.add_argument("-j", "--jobs", type=int, default=4)
+    pr.add_argument("--columns", default=None, help="comma-separated subset")
+    pr.add_argument("table", help="parquet path")
+    pr.set_defaults(fn=cmd_profile)
+
+    cl = sub.add_parser("clean", help="corpus cleaning pipeline (beyond-reference)")
+    cl.add_argument("-j", "--jobs", type=int, default=4)
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--scrub", action="store_true", help="redact PII first")
+    cl.add_argument("--line-dedup", action="store_true", help="corpus line-level dedup")
+    cl.add_argument("--min-quality", type=float, default=0.0)
+    cl.add_argument("table", help="input parquet path")
+    cl.add_argument("out", help="output parquet path")
+    cl.set_defaults(fn=cmd_clean)
 
     args = p.parse_args(argv)
     return args.fn(args)

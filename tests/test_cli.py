@@ -84,3 +84,29 @@ class TestParallelCreate:
         assert a.has_same_params(b)
         probe = [s.encode() for s in lines[:500]]
         assert all(b.contains_batch(probe))
+
+
+def test_cli_profile(tmp_path, capsys):
+    import json
+
+    from poppy_spark.__main__ import main
+
+    rc = main(["profile", "-j", "2", "--columns", "user_id",
+               "/root/testdata/sf0.001/events.parquet"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    row = json.loads(line)
+    assert row["column"] == "user_id" and row["n_rows"] == 1000
+
+
+def test_cli_clean(tmp_path, capsys):
+    import json
+
+    from poppy_spark.__main__ import main
+
+    out = str(tmp_path / "cleaned")
+    rc = main(["clean", "-j", "2", "--line-dedup",
+               "/root/testdata/sf0.001/documents.parquet", out])
+    assert rc == 0
+    stat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stat["rows_in"] == 500 and 0 < stat["rows_out"] <= 500
