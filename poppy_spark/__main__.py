@@ -219,12 +219,20 @@ def cmd_bench(args) -> int:
 
 
 def _get_session(jobs: int):
+    """(session, owned): an active session from an embedding process
+    (tests, notebooks) is REUSED and must not be stopped — only a session
+    this command created gets stopped on exit (same ownership contract as
+    ``_create_spark``)."""
+    from pyspark.sql import SparkSession
+
     from poppy_spark.spark.session import get_spark
 
-    return get_spark(
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark(
         app_name="poppy-spark-cli", master=f"local[{jobs}]",
         shuffle_partitions=max(jobs, 1),
     )
+    return spark, owned
 
 
 def cmd_profile(args) -> int:
@@ -233,7 +241,7 @@ def cmd_profile(args) -> int:
     scans at any width, ``spark/profile.py``)."""
     import json
 
-    spark = _get_session(args.jobs)
+    spark, owned = _get_session(args.jobs)
     try:
         spark.sparkContext.setLogLevel("ERROR")
         from poppy_spark.spark.profile import profile_table
@@ -244,7 +252,8 @@ def cmd_profile(args) -> int:
             print(json.dumps(r.asDict()))
         return 0
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
 
 
 def cmd_clean(args) -> int:
@@ -255,7 +264,7 @@ def cmd_clean(args) -> int:
 
     from pyspark.sql import functions as F
 
-    spark = _get_session(args.jobs)
+    spark, owned = _get_session(args.jobs)
     try:
         spark.sparkContext.setLogLevel("ERROR")
         from poppy_spark.spark.dedup import drop_exact_duplicates, line_dedup_corpus
@@ -280,7 +289,8 @@ def cmd_clean(args) -> int:
         print(json.dumps({"rows_in": n_in, "rows_out": n_out, "out": args.out}))
         return 0
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
 
 
 def main(argv=None) -> int:
