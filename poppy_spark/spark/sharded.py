@@ -957,6 +957,37 @@ class GroupedShardedBloom:
         merged = both.groupBy(g, "shard_id").applyInPandas(combine, out_schema)
         return GroupedShardedBloom(self.params, g, merged)
 
+    def count_estimates(self) -> DataFrame:
+        """Per-group cardinality estimates ``(group, estimate)``: the same
+        per-bucket truncated sum as ``ShardedBloom.count_estimate``
+        (``v2.rs:575-588``), decomposed per (group, shard) and summed per
+        group — equal to ``BloomV2.update_count()`` on each group's
+        reassembled filter.  Stays distributed: one pandas UDF over state
+        rows + one grouped sum."""
+        from poppy_spark.core.statekern import _sum_bucket_estimates, v2_bucket_ones
+        from poppy_spark.spark.agg import decompress_blob
+
+        n_hash = self.params.n_hash_buck
+
+        @F.pandas_udf("decimal(38,0)")
+        def shard_est(states: pd.Series) -> pd.Series:
+            import decimal
+
+            out = []
+            for raw in states:
+                buckets = np.frombuffer(decompress_blob(raw), dtype=np.uint8)
+                nb = buckets.size // BUCKET_SIZE
+                out.append(
+                    decimal.Decimal(
+                        _sum_bucket_estimates(v2_bucket_ones(buckets, nb), n_hash)
+                    )
+                )
+            return pd.Series(out)
+
+        return self.states.groupBy(self.group_col).agg(
+            F.sum(shard_est(F.col("state"))).cast("long").alias("estimate")
+        )
+
     def reassemble_group(self, group_value) -> bytes:
         """One group's shards OR'd into a complete poppy v2 file (bytes).
         Collect-based: intended for tests/export of a single group."""

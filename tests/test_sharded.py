@@ -423,3 +423,21 @@ class TestGroupedSharded:
         full = build_sharded_bloom_grouped(ev, "user_id", "event_type", **kw)
         for gval in ["click", "view"]:
             assert merged.reassemble_group(gval) == full.reassemble_group(gval)
+
+    def test_grouped_count_estimates(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.core import loads as core_loads
+        from poppy_spark.spark.sharded import build_sharded_bloom_grouped
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        gsb = build_sharded_bloom_grouped(
+            ev, "user_id", "event_type", capacity=5_000, fpp=0.001, n_shards=4
+        )
+        ests = {r["event_type"]: r["estimate"] for r in gsb.count_estimates().collect()}
+        for gval, est in ests.items():
+            # distributed estimate == count field of the reassembled filter
+            filt = core_loads(gsb.reassemble_group(gval))
+            assert est == filt.count_estimate
+            exact = ev.filter(F.col("event_type") == gval).select("user_id").distinct().count()
+            assert abs(est - exact) <= max(2, 0.1 * exact)
