@@ -1447,6 +1447,126 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-4 composite rows: fold single-boolean smoke queries into labeled
+# multi-row composites so EVERY operator fits the driver's 50-row
+# correctness window (round-3 verdict #1).  The single-operator functions
+# above stay importable and tested; these rows collect their (tiny)
+# outputs and emit one labeled (chk, n, ok) row per check.
+# --------------------------------------------------------------------------
+
+
+def q_bloom_algebra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite driver row for poppy's filter algebra (SURVEY §2.4-2.5):
+    count_estimate / union merge-invariance / count_common / intersection /
+    OptLevel cache probes / partial (header-only) reads / v1 DCSO
+    end-to-end — one labeled row per check, each `n` an exact count the
+    DuckDB oracle reproduces and each `ok` a gate on the sketch bound."""
+    rows = []
+    r = q_bloom_count_estimate(spark, sf_dir).collect()[0]
+    rows.append(("count_estimate", r["n_exact"], bool(r["within_5pct"])))
+    r = q_bloom_merge_invariance(spark, sf_dir).collect()[0]
+    rows.append(("merge_invariance", r["n_rows"], bool(r["orderings_agree"])))
+    r = q_bloom_count_common(spark, sf_dir).collect()[0]
+    rows.append(("count_common", r["n_exact"], bool(r["within_bound"])))
+    r = q_bloom_intersection(spark, sf_dir).collect()[0]
+    rows.append(("intersection", r["n_exact"], bool(r["within_bound"])))
+    for r in q_bloom_optlevel_probe(spark, sf_dir).collect():
+        rows.append((f"optlevel_{r['opt_level']}", r["n_keys"], r["n_missed"] == 0))
+    r = q_bloom_partial_read_show(spark, sf_dir).collect()[0]
+    rows.append(
+        ("partial_read", r["n_keys"], bool(r["count_matches"] and r["params_equal"]))
+    )
+    r = q_bloom_v1_distributed(spark, sf_dir).collect()[0]
+    rows.append(
+        ("v1_distributed", r["n_keys"], bool(r["orderings_agree"]) and r["n_missed"] == 0)
+    )
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
+def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite ANN row: hyperplane-LSH and IVF planted-neighbor recall
+    gates (>= 0.9 each) as labeled rows."""
+    rows = []
+    r = q_ann_planted_recall(spark, sf_dir).collect()[0]
+    rows.append(("lsh", r["n_queries"], bool(r["recall_ok"])))
+    r = q_ivf_planted_recall(spark, sf_dir).collect()[0]
+    rows.append(("ivf", r["n_queries"], bool(r["recall_ok"])))
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact text statistics in ONE scan: whitespace token
+    count + char-count consistency, digit/space counts, and BPE-flavored
+    word-piece counts — all pure JVM expressions replicated exactly in
+    DuckDB (folds the former token_stats / text_ratios / bpe_tokens
+    rows)."""
+    from poppy_spark.spark.text import bpe_ish_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(t, " ", -1)).cast("bigint").alias("n_tokens"),
+        (F.length(t) == F.col("n_chars")).alias("chars_ok"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", "")))
+        .cast("bigint")
+        .alias("n_digits"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"\s", "")))
+        .cast("bigint")
+        .alias("n_spaces"),
+        bpe_ish_token_count(t).alias("n_pieces"),
+    )
+
+
+def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL median + t-digest p99 rank gates per event_type as labeled rows
+    (folds kll_value_median / tdigest_value_p99)."""
+    kll = q_kll_value_median(spark, sf_dir).select(
+        F.lit("kll_p50").alias("sketch"), "event_type", "n_exact", "within_bound"
+    )
+    td = q_tdigest_value_p99(spark, sf_dir).select(
+        F.lit("tdigest_p99").alias("sketch"), "event_type", "n_exact", "within_bound"
+    )
+    return kll.unionAll(td)
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event_type AND per day in one result (folds
+    hll_users_by_type / hll_users_by_day); day keys pinned to yyyy-MM-dd
+    strings so Spark and DuckDB render identically."""
+    by_type = q_hll_users_by_type(spark, sf_dir).select(
+        F.lit("type").alias("group_kind"),
+        F.col("event_type").alias("group_key"),
+        "n_exact",
+        "within_bound",
+    )
+    by_day = q_hll_users_by_day(spark, sf_dir).select(
+        F.lit("day").alias("group_kind"),
+        F.date_format("day", "yyyy-MM-dd").alias("group_key"),
+        "n_exact",
+        "within_bound",
+    )
+    return by_type.unionAll(by_day)
+
+
+def q_dedup_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup robustness gates as labeled rows (folds dedup_survivors /
+    lsh_hot_bucket_cap): survivor counts are exact values the oracle
+    recomputes; hot_bucket asserts the planted 3000x-boilerplate bucket is
+    capped with recall kept."""
+    rows = []
+    r = q_dedup_survivors(spark, sf_dir).collect()[0]
+    rows.append(("survivors", r["n_survivors"], bool(r["survivors_all_originals"])))
+    rows.append(("survivor_groups", r["n_groups"], True))
+    rows.append(("survivor_sample", r["n_sampled_ids"], True))
+    r = q_lsh_hot_bucket_cap(spark, sf_dir).collect()[0]
+    rows.append(
+        ("hot_bucket", r["n_docs"], bool(r["hot_pairs_bounded"]) and r["n_missed"] == 0)
+    )
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1457,65 +1577,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 46 entries — every operator fits the driver's 50-row correctness
+    # window (round-3 verdict #1).  Never-driver-verified flagships lead;
+    # single-boolean smoke rows are folded into the *_suite / *_guards /
+    # text_stats / hll_users / quantile_sketches composites (the underlying
+    # single-operator callables remain importable + pytest-gated).
     return {
+        # round-3 flagships that never had a driver row
+        "profile_events": q_profile_events,
+        "grouped_sharded_bloom": q_grouped_sharded_bloom,
+        "grouped_hc_membership": q_grouped_hc_membership,
+        "corpus_clean_pipeline": q_corpus_clean_pipeline,
+        "streaming_fold": q_streaming_fold,
+        "cosine_near_dup": q_cosine_near_dup,
+        "dedup_guards": q_dedup_guards,
+        # poppy core bloom surface
         "bloom_semi_join": q_bloom_semi_join,
         "bloom_anti_join_bounds": q_bloom_anti_join_bounds,
-        "bloom_count_estimate": q_bloom_count_estimate,
-        "bloom_merge_invariance": q_bloom_merge_invariance,
-        "bloom_count_common": q_bloom_count_common,
-        "hll_users_by_type": q_hll_users_by_type,
-        "hll_users_by_day": q_hll_users_by_day,
+        "bloom_algebra_suite": q_bloom_algebra_suite,
+        "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
+        "bloom_grouped_membership": q_bloom_grouped_membership,
+        # sketch family (§2.9)
+        "hll_users": q_hll_users,
         "cms_event_type_freq": q_cms_event_type_freq,
-        "kll_value_median": q_kll_value_median,
-        "tdigest_value_p99": q_tdigest_value_p99,
+        "quantile_sketches": q_quantile_sketches,
+        "topk_users": q_topk_users,
+        "topk_ngrams": q_topk_ngrams,
+        "theta_user_overlap": q_theta_user_overlap,
         "minhash_source_overlap": q_minhash_source_overlap,
+        # dedup family
         "exact_dedup_groups": q_exact_dedup_groups,
-        "token_stats": q_token_stats,
-        "text_ratios": q_text_ratios,
-        "bpe_tokens": q_bpe_tokens,
-        "doc_fingerprint": q_doc_fingerprint,
-        "text_quality_lang": q_text_quality_lang,
+        "duplicate_components": q_duplicate_components,
+        "conversation_dedup": q_conversation_dedup,
+        "line_dedup": q_line_dedup,
         "lsh_dedup_recall": q_lsh_dedup_recall,
         "simhash_duplicates": q_simhash_duplicates,
+        # similarity family
         "cosine_top1": q_cosine_top1,
-        "bloom_grouped_membership": q_bloom_grouped_membership,
-        "transcripts_sketches": q_transcripts_sketches,
-        "transcripts_rollup": q_transcripts_rollup,
+        "ann_recall_suite": q_ann_recall_suite,
+        # text family
+        "text_stats": q_text_stats,
+        "text_quality_lang": q_text_quality_lang,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "repetition_stats": q_repetition_stats,
+        "scrub_pii": q_scrub_pii,
+        # sampling family
         "hash_sample_split": q_hash_sample_split,
-        "theta_user_overlap": q_theta_user_overlap,
         "bottom_k_sample": q_bottom_k_sample,
         "weighted_sample": q_weighted_sample,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "duplicate_components": q_duplicate_components,
+        "quantile_buckets": q_quantile_buckets,
+        # temporal / relational family
         "sessionize_events": q_sessionize_events,
         "rolling_agg": q_rolling_agg,
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
+        # pipeline operators
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
+        # transcripts (north-rule input)
+        "transcripts_sketches": q_transcripts_sketches,
+        "transcripts_rollup": q_transcripts_rollup,
         "transcripts_invariance": q_transcripts_invariance,
-        "sharded_bloom_semi_join": q_sharded_bloom_semi_join,
-        "bloom_v1_distributed": q_bloom_v1_distributed,
-        "bloom_intersection": q_bloom_intersection,
-        "bloom_optlevel_probe": q_bloom_optlevel_probe,
-        "bloom_partial_read_show": q_bloom_partial_read_show,
-        "ann_planted_recall": q_ann_planted_recall,
-        "ivf_planted_recall": q_ivf_planted_recall,
-        "topk_users": q_topk_users,
-        "topk_ngrams": q_topk_ngrams,
-        "quantile_buckets": q_quantile_buckets,
-        "conversation_dedup": q_conversation_dedup,
-        "scrub_pii": q_scrub_pii,
-        "line_dedup": q_line_dedup,
-        "profile_events": q_profile_events,
-        "grouped_sharded_bloom": q_grouped_sharded_bloom,
-        "streaming_fold": q_streaming_fold,
-        "cosine_near_dup": q_cosine_near_dup,
-        "dedup_survivors": q_dedup_survivors,
-        "lsh_hot_bucket_cap": q_lsh_hot_bucket_cap,
-        "grouped_hc_membership": q_grouped_hc_membership,
-        "corpus_clean_pipeline": q_corpus_clean_pipeline,
     }
 
 
@@ -1541,32 +1664,39 @@ def _hash_sample_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    hll_by = "SELECT {g} AS {n}, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound FROM events GROUP BY 1"
     return {
         "bloom_semi_join": "SELECT DISTINCT l_orderkey FROM lineitem",
         "bloom_anti_join_bounds": (
             "SELECT 2 * COUNT(*) AS n_probed, 0 AS n_members_missed, TRUE AS fp_within_bound FROM orders"
         ),
-        "bloom_count_estimate": (
-            "SELECT COUNT(DISTINCT text) AS n_exact, TRUE AS within_5pct FROM documents"
+        "bloom_algebra_suite": (
+            "SELECT 'count_estimate' AS chk, (SELECT COUNT(DISTINCT text) FROM documents) AS n, TRUE AS ok "
+            "UNION ALL SELECT 'merge_invariance', (SELECT COUNT(*) FROM orders), TRUE "
+            "UNION ALL SELECT 'count_common', (SELECT COUNT(DISTINCT o_custkey) FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer)), TRUE "
+            "UNION ALL SELECT 'intersection', (SELECT COUNT(*) FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)), TRUE "
+            "UNION ALL SELECT 'optlevel_2', (SELECT COUNT(*) FROM orders), TRUE "
+            "UNION ALL SELECT 'optlevel_3', (SELECT COUNT(*) FROM orders), TRUE "
+            "UNION ALL SELECT 'partial_read', (SELECT COUNT(*) FROM orders), TRUE "
+            "UNION ALL SELECT 'v1_distributed', (SELECT COUNT(*) FROM orders), TRUE"
         ),
-        "bloom_merge_invariance": (
-            "SELECT COUNT(*) AS n_rows, TRUE AS orderings_agree FROM orders"
+        "hll_users": (
+            "SELECT 'type' AS group_kind, event_type AS group_key, "
+            "COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound "
+            "FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d'), "
+            "COUNT(DISTINCT user_id), TRUE FROM events GROUP BY date_trunc('day', ts)"
         ),
-        "bloom_count_common": (
-            "SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_bound FROM orders "
-            "WHERE o_custkey IN (SELECT c_custkey FROM customer)"
-        ),
-        "hll_users_by_type": hll_by.format(g="event_type", n="event_type"),
-        "hll_users_by_day": hll_by.format(g="CAST(date_trunc('day', ts) AS TIMESTAMP)", n="day"),
         "cms_event_type_freq": (
             "SELECT event_type, COUNT(*) AS n_exact, TRUE AS within_bound FROM events GROUP BY event_type"
         ),
-        "kll_value_median": (
-            "SELECT event_type, COUNT(*) AS n_exact, TRUE AS within_bound FROM events GROUP BY event_type"
-        ),
-        "tdigest_value_p99": (
-            "SELECT event_type, COUNT(*) AS n_exact, TRUE AS within_bound FROM events GROUP BY event_type"
+        "quantile_sketches": (
+            "SELECT s.sketch, e.event_type, e.n_exact, TRUE AS within_bound "
+            "FROM (SELECT 'kll_p50' AS sketch UNION ALL SELECT 'tdigest_p99') s "
+            "CROSS JOIN (SELECT event_type, COUNT(*) AS n_exact FROM events "
+            "GROUP BY event_type) e"
         ),
         "minhash_source_overlap": (
             "SELECT a.source AS source_a, b.source AS source_b, TRUE AS within_bound "
@@ -1576,18 +1706,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups": (
             "SELECT md5(text) AS text_hash, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
-        "token_stats": (
+        "text_stats": (
             "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens, "
-            "length(text) = n_chars AS chars_ok FROM documents"
-        ),
-        "text_ratios": (
-            "SELECT doc_id, "
+            "length(text) = n_chars AS chars_ok, "
             "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits, "
-            "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces "
-            "FROM documents"
-        ),
-        "bpe_tokens": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces, "
+            "CAST(len(regexp_extract_all(text, "
             "'[A-Za-z_]+|[0-9]+|[^\\w\\s]')) AS BIGINT) AS n_pieces FROM documents"
         ),
         "doc_fingerprint": (
@@ -1658,8 +1782,10 @@ FROM s""",
         # exact value oracle: DuckDB's md5 over the same seeded key strings
         # reproduces the sampled/split row sets bit-for-bit
         "hash_sample_split": _hash_sample_oracle_sql(),
+        # SUM must be cast: DuckDB types a bare SUM(BIGINT) as HUGEINT
+        # (int128) while Spark returns BIGINT — the round-3 hash-mismatch
         "pack_sequences": (
-            "SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_tokens, "
+            "SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_tokens, "
             "TRUE AS all_assigned, TRUE AS budget_ok, "
             "TRUE AS packs_within_bound, TRUE AS layout_invariant FROM documents"
         ),
@@ -1782,26 +1908,9 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "TRUE AS single_exceeds_budget, TRUE AS shards_within_budget, "
             "TRUE AS fp_within_bound FROM orders"
         ),
-        "bloom_v1_distributed": (
-            "SELECT COUNT(*) AS n_keys, 0 AS n_missed, TRUE AS orderings_agree FROM orders"
-        ),
-        "bloom_intersection": (
-            "SELECT COUNT(*) AS n_exact, TRUE AS within_bound FROM customer "
-            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
-        ),
-        "bloom_optlevel_probe": (
-            "SELECT 2 AS opt_level, COUNT(*) AS n_keys, 0 AS n_missed FROM orders "
-            "UNION ALL "
-            "SELECT 3 AS opt_level, COUNT(*) AS n_keys, 0 AS n_missed FROM orders"
-        ),
-        "bloom_partial_read_show": (
-            "SELECT COUNT(*) AS n_keys, TRUE AS count_matches, TRUE AS params_equal FROM orders"
-        ),
-        "ann_planted_recall": (
-            "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
-        ),
-        "ivf_planted_recall": (
-            "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 50"
+        "ann_recall_suite": (
+            "SELECT 'lsh' AS chk, (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n, TRUE AS ok "
+            "UNION ALL SELECT 'ivf', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50), TRUE"
         ),
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
@@ -1904,15 +2013,13 @@ GROUP BY gram ORDER BY n_exact DESC, gram LIMIT 10""",
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
-        "dedup_survivors": (
+        "dedup_guards": (
             "WITH c AS (SELECT COUNT(*) AS cnt FROM documents GROUP BY text) "
-            "SELECT (SELECT COUNT(*) FROM c) AS n_survivors, "
-            "(SELECT COUNT(*) FROM c) AS n_groups, "
-            "CAST((SELECT SUM(LEAST(cnt * 2, 20)) FROM c) AS BIGINT) AS n_sampled_ids, "
-            "TRUE AS survivors_all_originals"
-        ),
-        "lsh_hot_bucket_cap": (
-            "SELECT COUNT(*) AS n_docs, 0 AS n_missed, TRUE AS hot_pairs_bounded FROM documents"
+            "SELECT 'survivors' AS chk, (SELECT COUNT(*) FROM c) AS n, TRUE AS ok "
+            "UNION ALL SELECT 'survivor_groups', (SELECT COUNT(*) FROM c), TRUE "
+            "UNION ALL SELECT 'survivor_sample', "
+            "CAST((SELECT SUM(LEAST(cnt * 2, 20)) FROM c) AS BIGINT), TRUE "
+            "UNION ALL SELECT 'hot_bucket', (SELECT COUNT(*) FROM documents), TRUE"
         ),
         "grouped_hc_membership": (
             "SELECT COUNT(DISTINCT l_orderkey) AS n_groups, COUNT(*) AS n_rows, "
