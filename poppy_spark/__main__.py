@@ -84,7 +84,13 @@ def _create_spark(args) -> int:
 
     # only stop the session on exit if WE created it — getOrCreate may hand
     # back a session owned by the embedding process (tests, notebooks)
-    owned = SparkSession.getActiveSession() is None
+    owned = (
+        SparkSession.getActiveSession() is None
+        # getActiveSession is thread-local; also check the
+        # process-wide default so a session created in another
+        # thread is never stopped by this command (round-3 advice)
+        and SparkSession.getDefaultSession() is None
+    )
     spark = get_spark(
         "poppy-cli-create", master=f"local[{args.jobs}]", shuffle_partitions=args.jobs
     )
@@ -143,7 +149,13 @@ def cmd_show(args) -> int:
         from poppy_spark.spark.session import get_spark
         from poppy_spark.spark.sharded import ShardedBloom
 
-        owned = SparkSession.getActiveSession() is None
+        owned = (
+        SparkSession.getActiveSession() is None
+        # getActiveSession is thread-local; also check the
+        # process-wide default so a session created in another
+        # thread is never stopped by this command (round-3 advice)
+        and SparkSession.getDefaultSession() is None
+    )
         spark = get_spark("poppy-cli-show", master="local[2]", shuffle_partitions=2)
         try:
             spark.sparkContext.setLogLevel("ERROR")
@@ -227,7 +239,13 @@ def _get_session(jobs: int):
 
     from poppy_spark.spark.session import get_spark
 
-    owned = SparkSession.getActiveSession() is None
+    owned = (
+        SparkSession.getActiveSession() is None
+        # getActiveSession is thread-local; also check the
+        # process-wide default so a session created in another
+        # thread is never stopped by this command (round-3 advice)
+        and SparkSession.getDefaultSession() is None
+    )
     spark = get_spark(
         app_name="poppy-spark-cli", master=f"local[{jobs}]",
         shuffle_partitions=max(jobs, 1),

@@ -93,6 +93,13 @@ class KllSketch(Sketch):
             self.levels.append(np.zeros(0, dtype=np.float64))
         self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
 
+    def memory_bound_bytes(self) -> int:
+        """Populated-state bound: total level capacity converges to
+        ``k / (1 - C)`` float64 items regardless of n (geometric level
+        capacities).  The empty wire form is ~26 B, so the base-class
+        default would under-budget grouped flush guards ~200x."""
+        return 128 + int(math.ceil(8.0 * self.k / (1.0 - _C)))
+
     # --- merge -------------------------------------------------------------------
     def merge(self, other: "KllSketch") -> None:
         if self.k != other.k:

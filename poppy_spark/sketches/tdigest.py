@@ -64,6 +64,13 @@ class TDigestSketch(Sketch):
         if self._buf_n > 8 * self.delta:
             self._compress()
 
+    def memory_bound_bytes(self) -> int:
+        """Populated-state bound: <= 2*delta centroids plus the <= 8*delta
+        pre-compression buffer, two float64 arrays each.  The empty wire
+        form is a bare header, so the base-class default would under-budget
+        grouped flush guards."""
+        return 256 + int(16 * (2 * self.delta + 8 * self.delta))
+
     def _compress(self) -> None:
         if not self._buf_m and self.means.size <= 2 * self.delta:
             return

@@ -96,6 +96,12 @@ class ThetaSketch(Sketch):
             raise ValueError("cannot merge theta sketches with different k")
         self.update_hashes(other.values)
 
+    def memory_bound_bytes(self) -> int:
+        """Populated-state bound: up to ``k`` uint64 values once saturated.
+        The empty wire form is ~16 B, so the base-class default would
+        under-budget grouped flush guards by ~2000x at k=4096."""
+        return 64 + 8 * self.k
+
     # -- estimates ----------------------------------------------------------
 
     @property

@@ -93,6 +93,15 @@ class TopKSketch(Sketch):
     def result(self) -> list[tuple[bytes, int]]:
         return self.top(10)
 
+    def memory_bound_bytes(self) -> int:
+        """Populated-state bound: at most ``m`` live counters after a trim,
+        each costing its key bytes plus CPython dict-entry overhead
+        (~100 B).  Key size is data-dependent, so the bound tracks the
+        largest key seen so far (floor 32 B); grouped builds re-estimate
+        from a live sketch every batch to pick up growth."""
+        longest = max((len(k) for k in self.counters), default=0)
+        return 256 + self.m * (max(longest, 32) + 100)
+
     # --- algebra -------------------------------------------------------------------
     def merge(self, other: "TopKSketch") -> None:
         if self.m != other.m:

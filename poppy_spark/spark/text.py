@@ -292,7 +292,13 @@ def scrub_pii(
         expr = F.regexp_replace(expr, pat, repl)
     return (
         df.withColumn("__scrubbed", expr)
-        .withColumn(flag_col, F.col("__scrubbed") != F.col(text_col))
+        .withColumn(
+            # NULL text scrubs to NULL; without the coalesce the flag would
+            # be NULL (NULL != NULL) and downstream filters on either
+            # polarity would silently drop those rows
+            flag_col,
+            F.coalesce(F.col("__scrubbed") != F.col(text_col), F.lit(False)),
+        )
         .drop(out)
         .withColumnRenamed("__scrubbed", out)
     )

@@ -301,5 +301,8 @@ class TestSparseHllProperties:
             part.update_hashes(h[assign == p])
             # exercise mixed sparse/dense crossings via the wire format too
             acc.merge(HllSketch.loads(part.dumps()))
-        assert (acc.registers == want.registers).all()
+        # compare wire bytes FIRST: reading .registers densifies both
+        # sketches, which would silently skip the sparse-encoding
+        # determinism this assertion exists to pin (round-3 advice)
         assert acc.dumps() == want.dumps()
+        assert (acc.registers == want.registers).all()

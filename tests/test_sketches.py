@@ -424,3 +424,57 @@ class TestHllSparse:
         assert max(sizes) < 600
         est = HllSketch.loads(sizes and states.first()["state"]).result()
         assert 20 <= est <= 30
+
+
+class TestMemoryBounds:
+    """memory_bound_bytes must bound the POPULATED in-memory state, not the
+    (possibly tiny) empty wire form — grouped builds size their per-task
+    flush guard from it (round-3 advice, sketches with compact empty
+    encodings under-budgeted by 100-2000x)."""
+
+    def test_populated_dumps_within_bound(self):
+        import numpy as np
+
+        from poppy_spark.sketches import (
+            HllSketch,
+            KllSketch,
+            TDigestSketch,
+            ThetaSketch,
+            TopKSketch,
+        )
+
+        rng = np.random.default_rng(7)
+        h = rng.integers(0, 2**63, size=200_000, dtype=np.int64).astype(np.uint64)
+
+        th = ThetaSketch(4096)
+        bound = th.memory_bound_bytes()  # taken FRESH, like the flush guard
+        th.update_hashes(h)
+        assert th.values.nbytes <= bound
+        assert len(th.dumps()) <= bound
+
+        kll = KllSketch(200)
+        bound = kll.memory_bound_bytes()
+        for chunk in np.array_split(rng.normal(size=100_000), 20):
+            kll.update_values(chunk)
+        assert sum(lv.nbytes for lv in kll.levels) <= bound
+        assert len(kll.dumps()) <= bound
+
+        td = TDigestSketch(200.0)
+        bound = td.memory_bound_bytes()
+        for chunk in np.array_split(rng.normal(size=100_000), 20):
+            td.update_values(chunk)
+        assert td.means.nbytes + td.weights.nbytes <= bound
+        assert len(td.dumps()) <= bound
+
+        tk = TopKSketch(256)
+        fresh_bound = tk.memory_bound_bytes()
+        tk.update_keys([f"user-{i % 700:04d}" for i in range(20_000)])
+        assert len(tk.dumps()) <= fresh_bound
+        # live bound tracks actually-observed key sizes
+        tk.update_keys(["x" * 200])
+        assert tk.memory_bound_bytes() >= 256 * 200
+
+        # fresh bounds are far above the misleading empty wire size
+        assert ThetaSketch(4096).memory_bound_bytes() > 100 * len(ThetaSketch(4096).dumps())
+        assert KllSketch(200).memory_bound_bytes() > 50 * len(KllSketch(200).dumps())
+        assert HllSketch(14).memory_bound_bytes() >= (1 << 14)
