@@ -247,9 +247,37 @@ def q_grouped_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).dumps()
         for g in sorted(groups)
     )
+    # round-4: per-group set algebra (intersection + count_common, poppy
+    # §2.4 #26/#28 in the grouped-sharded dimension) must match
+    # BloomV2.intersection_merge / count_common_entries on the reassembled
+    # group filters
+    from poppy_spark.core import loads as core_loads
+
+    lo = events.filter(F.col("user_id") % 2 == 0)
+    hi = events.filter(F.col("user_id") % 3 == 0)
+    a = build_sharded_bloom_grouped(
+        lo, "user_id", "event_type", capacity=50_000, fpp=0.001, n_shards=4
+    )
+    b = build_sharded_bloom_grouped(
+        hi, "user_id", "event_type", capacity=50_000, fpp=0.001, n_shards=4
+    )
+    inter = a.intersection(b)
+    common = {r["event_type"]: r["estimate"] for r in a.count_common(b).collect()}
+    algebra_ok = True
+    for g in sorted(groups):
+        fa = core_loads(a.reassemble_group(g))
+        fb = core_loads(b.reassemble_group(g))
+        want_common = fa.count_common_entries(fb)
+        fa.intersection_merge(fb)
+        algebra_ok = (
+            algebra_ok
+            and inter.reassemble_group(g) == fa.dumps()
+            and common.get(g, 0) == want_common
+        )
     return spark.createDataFrame(
-        [(len(groups), n_missed, n_ghost, bool(bytes_equal))],
-        "n_groups bigint, n_missed bigint, n_ghost_hits bigint, bytes_equal boolean",
+        [(len(groups), n_missed, n_ghost, bool(bytes_equal), bool(algebra_ok))],
+        "n_groups bigint, n_missed bigint, n_ghost_hits bigint, "
+        "bytes_equal boolean, algebra_ok boolean",
     )
 
 
@@ -1566,6 +1594,76 @@ def q_dedup_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
+def q_model_plug_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: the text model seams driven by genuinely TRAINED artifacts
+    (naive-Bayes char-trigram langid, learned-merge BPE) instead of the
+    heuristics — labeled gates: every document scores through the plugged
+    classifier (exact count oracle), planted unambiguous rows agree with
+    the heuristic path, BPE counts through the Arrow seam equal driver-side
+    reference tokenization, and the model instantiates once per Python
+    worker (marker files: one per distinct pid)."""
+    import os
+    import tempfile
+
+    from poppy_spark.models import (
+        BpeTokenizer,
+        NaiveBayesLangId,
+        train_bpe,
+        train_naive_bayes_langid,
+    )
+    from poppy_spark.spark.text import STOPWORDS, detect_language, model_token_count
+
+    samples = []
+    for lang, words in STOPWORDS.items():
+        for i in range(6):
+            chunk = words[i % len(words) :] + words[: i % len(words)]
+            samples.append((" ".join(chunk[:10]), lang))
+    art = train_naive_bayes_langid(samples)
+    docs = _read(spark, sf_dir, "documents")
+    rows = []
+
+    with tempfile.TemporaryDirectory() as marker_dir:
+        factory = NaiveBayesLangId(art, marker_dir=marker_dir)
+        scored = detect_language(docs.repartition(16), "text", model_factory=factory)
+        n_docs = scored.count()
+        n_null = scored.filter(F.col("lang_guess").isNull()).count()
+        rows.append(("nb_docs_scored", n_docs, n_null == 0))
+        markers = os.listdir(marker_dir)
+        pids = {m.split("-")[0] for m in markers}
+        rows.append(("worker_cached", 1, len(markers) == len(pids) and len(markers) < 16))
+
+    planted = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are not in this house"),
+            (2, "le chat est dans la maison avec les enfants"),
+            (3, "der hund ist nicht mit der katze auf dem dach"),
+            (4, "el perro y el gato en la casa del pueblo"),
+        ],
+        "doc_id long, text string",
+    )
+    heur = {r["doc_id"]: r["lang_guess"] for r in detect_language(planted, "text").collect()}
+    plug = {
+        r["doc_id"]: r["lang_guess"]
+        for r in detect_language(planted, "text", model_factory=NaiveBayesLangId(art)).collect()
+    }
+    want = {1: "en", 2: "fr", 3: "de", 4: "es"}
+    rows.append(("nb_planted_langid", 4, plug == heur == want))
+
+    texts = [r["text"] for r in docs.select("text").limit(50).collect()]
+    tok = BpeTokenizer(train_bpe(texts, n_merges=200))
+    sub = docs.limit(50).repartition(4)
+    got = {
+        r["doc_id"]: r["n_bpe"]
+        for r in model_token_count(sub, "text", tok, "n_bpe").collect()
+    }
+    ref = {
+        r["doc_id"]: len(tok.tokenize(r["text"]))
+        for r in sub.select("doc_id", "text").collect()
+    }
+    rows.append(("bpe_seam_parity", 50, got == ref))
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1616,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top1": q_cosine_top1,
         "ann_recall_suite": q_ann_recall_suite,
         # text family
+        "model_plug_suite": q_model_plug_suite,
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1705,6 +1804,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_groups": (
             "SELECT md5(text) AS text_hash, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "model_plug_suite": (
+            "SELECT 'nb_docs_scored' AS chk, (SELECT COUNT(*) FROM documents) AS n, TRUE AS ok "
+            "UNION ALL SELECT 'worker_cached', 1, TRUE "
+            "UNION ALL SELECT 'nb_planted_langid', 4, TRUE "
+            "UNION ALL SELECT 'bpe_seam_parity', 50, TRUE"
         ),
         "text_stats": (
             "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens, "
@@ -1918,7 +2023,8 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
         ),
         "grouped_sharded_bloom": (
             "SELECT COUNT(DISTINCT event_type) AS n_groups, CAST(0 AS BIGINT) AS n_missed, "
-            "CAST(0 AS BIGINT) AS n_ghost_hits, TRUE AS bytes_equal FROM events"
+            "CAST(0 AS BIGINT) AS n_ghost_hits, TRUE AS bytes_equal, "
+            "TRUE AS algebra_ok FROM events"
         ),
         "rolling_agg": (
             "SELECT event_id, user_id, COUNT(value) OVER w AS w_count, "

@@ -957,6 +957,125 @@ class GroupedShardedBloom:
         merged = both.groupBy(g, "shard_id").applyInPandas(combine, out_schema)
         return GroupedShardedBloom(self.params, g, merged)
 
+    def intersection(self, other: "GroupedShardedBloom") -> "GroupedShardedBloom":
+        """Per-(group, shard) bitwise AND — poppy ``intersection_merge``
+        (``v2.rs:628-646``) applied independently to every group's filter.
+        A (group, shard) present on one side only ANDs with the implicit
+        all-zero shard and is dropped; a GROUP present on one side only
+        therefore vanishes entirely — its intersection is the empty
+        filter, which probes all-False exactly like a never-built group.
+        ``n_rows`` is reset to 0 (insert counts do not survive an AND;
+        poppy re-estimates — ``reassemble_group``'s ``update_count`` and
+        ``count_estimates`` both recompute from the bits)."""
+        if self.params != other.params or self.group_col != other.group_col:
+            raise MergeError(
+                "cannot intersect grouped sharded blooms with different "
+                "parameters or group columns"
+            )
+        import pyspark.sql.types as T
+
+        from poppy_spark.spark.agg import compress_blob, decompress_blob
+
+        g = self.group_col
+        a = self.states.withColumn("__src", F.lit(0))
+        b = other.states.withColumn("__src", F.lit(1))
+        both = a.unionByName(b)
+        gfield = [f for f in self.states.schema.fields if f.name == g][0]
+        out_schema = T.StructType(
+            [
+                gfield,
+                T.StructField("shard_id", T.IntegerType()),
+                T.StructField("state", T.BinaryType()),
+                T.StructField("n_rows", T.LongType()),
+            ]
+        )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            src = pdf["__src"].to_numpy()
+            sides = []
+            for s in (0, 1):
+                blobs = [
+                    np.frombuffer(decompress_blob(raw), dtype=np.uint8)
+                    for raw in pdf["state"][src == s]
+                ]
+                if blobs:
+                    sides.append(_reduce_blobs(blobs, "or"))
+            if len(sides) < 2:  # one-sided -> AND with zeros -> drop
+                return pd.DataFrame(
+                    {
+                        g: pd.Series(dtype=object),
+                        "shard_id": pd.Series(dtype="int32"),
+                        "state": pd.Series(dtype=object),
+                        "n_rows": pd.Series(dtype="int64"),
+                    }
+                )
+            acc = _reduce_blobs(sides, "and")
+            return pd.DataFrame(
+                {
+                    g: [pdf[g].iloc[0]],
+                    "shard_id": [int(pdf["shard_id"].iloc[0])],
+                    "state": [compress_blob(acc.tobytes())],
+                    "n_rows": [0],
+                }
+            )
+
+        merged = both.groupBy(g, "shard_id").applyInPandas(combine, out_schema)
+        return GroupedShardedBloom(self.params, g, merged)
+
+    def count_common(self, other: "GroupedShardedBloom") -> DataFrame:
+        """Per-group common-entry estimates ``(group, estimate)`` — poppy
+        ``count_common_entries`` (``bloom.rs:343-356``): the count-estimate
+        formula on popcount(AND), decomposed per (group, shard) and summed
+        per group.  Equals ``BloomV2.count_common_entries`` on each group's
+        two reassembled filters (empty buckets estimate 0, so shards or
+        groups touched on one side only contribute nothing; groups with no
+        commonly-touched shard are omitted — their estimate is 0).  One
+        cogrouped AND+popcount pass, states cross the wire once; no
+        intersection filter is materialized."""
+        if self.params != other.params or self.group_col != other.group_col:
+            raise MergeError(
+                "cannot compare grouped sharded blooms with different "
+                "parameters or group columns"
+            )
+        import pyspark.sql.types as T
+
+        from poppy_spark.core.statekern import _sum_bucket_estimates, v2_bucket_ones
+        from poppy_spark.spark.agg import decompress_blob
+
+        g = self.group_col
+        n_hash = self.params.n_hash_buck
+        a = self.states.withColumn("__src", F.lit(0))
+        b = other.states.withColumn("__src", F.lit(1))
+        both = a.unionByName(b)
+        gfield = [f for f in self.states.schema.fields if f.name == g][0]
+        part_schema = T.StructType(
+            [gfield, T.StructField("partial", T.DecimalType(38, 0))]
+        )
+
+        def common(pdf: pd.DataFrame) -> pd.DataFrame:
+            import decimal
+
+            src = pdf["__src"].to_numpy()
+            sides = []
+            for s in (0, 1):
+                blobs = [
+                    np.frombuffer(decompress_blob(raw), dtype=np.uint8)
+                    for raw in pdf["state"][src == s]
+                ]
+                if blobs:
+                    sides.append(_reduce_blobs(blobs, "or"))
+            if len(sides) < 2:
+                return pd.DataFrame({g: pd.Series(dtype=object), "partial": []})
+            acc = _reduce_blobs(sides, "and")
+            nb = acc.size // BUCKET_SIZE
+            est = _sum_bucket_estimates(v2_bucket_ones(acc, nb), n_hash)
+            return pd.DataFrame({g: [pdf[g].iloc[0]], "partial": [decimal.Decimal(est)]})
+
+        partials = both.groupBy(g, "shard_id").applyInPandas(common, part_schema)
+        return partials.groupBy(g).agg(
+            F.sum("partial").cast("long").alias("estimate")
+        )
+
     def count_estimates(self) -> DataFrame:
         """Per-group cardinality estimates ``(group, estimate)``: the same
         per-bucket truncated sum as ``ShardedBloom.count_estimate``
