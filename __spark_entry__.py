@@ -1513,12 +1513,41 @@ def q_bloom_algebra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite ANN row: hyperplane-LSH and IVF planted-neighbor recall
-    gates (>= 0.9 each) as labeled rows."""
+    gates (>= 0.9 each) as labeled rows, plus the round-4 product-
+    quantization path: ADC top-20 over 16x64 codebooks must recall >= 70%
+    of the exact cosine top-10 and retrieve the query's own quantized
+    vector >= 90% of the time."""
     rows = []
     r = q_ann_planted_recall(spark, sf_dir).collect()[0]
     rows.append(("lsh", r["n_queries"], bool(r["recall_ok"])))
     r = q_ivf_planted_recall(spark, sf_dir).collect()[0]
     rows.append(("ivf", r["n_queries"], bool(r["recall_ok"])))
+
+    from poppy_spark.spark.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, "vec_id", "embedding", 16, 64, iters=5)
+    codes = pq_encode(emb, "vec_id", "embedding", books).persist()
+    q = emb.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    approx = pq_topk(codes, q, "embedding", "qid", 20, books).collect()
+    exact = cosine_topk(emb, q, "vec_id", "embedding", "qid", k=10).collect()
+    codes.unpersist()
+    qids = {r["query_id"] for r in exact}
+    hits = sum(
+        len(
+            {r["id"] for r in approx if r["query_id"] == qid}
+            & {r["id"] for r in exact if r["query_id"] == qid}
+        )
+        for qid in qids
+    )
+    own = sum(1 for r in approx if r["id"] == r["query_id"])
+    ok = hits / (10 * len(qids)) >= 0.7 and own >= 0.9 * len(qids)
+    rows.append(("pq", len(qids), bool(ok)))
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -1664,6 +1693,52 @@ def q_model_plug_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: add-k-smoothed bigram LM trained on the documents corpus
+    (two grouped counts + a distinct-count) and self-scored — per-doc
+    bigram count, mean log-probability, perplexity.  Pure ln/arithmetic on
+    both engines, so the oracle is a TRUE-value float comparison."""
+    from poppy_spark.spark.lm import score_bigram_lm, train_bigram_lm
+
+    docs = _read(spark, sf_dir, "documents")
+    bigrams, unigrams, v = train_bigram_lm(docs, "text", "doc_id")
+    return score_bigram_lm(docs, "text", "doc_id", bigrams, unigrams, v, k=0.1)
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: verbatim repeated-span audit — an 8-word boilerplate tail
+    planted on every doc_id % 4 == 0 document must surface as cross-doc
+    repeated spans; output is the exact (span md5, doc count, occurrence
+    count, first occurrence) table DuckDB recomputes."""
+    from poppy_spark.spark.spans import repeated_spans
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" all rights reserved contact the site administrator today")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repeated_spans(docs, "text", "doc_id", span_words=8, min_docs=2)
+
+
+def q_proportional_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: deterministic domain re-mixing to target language
+    proportions — the scarcest weighted language (relative to its weight)
+    survives in full, the rest downsample by content hash.  TRUE-value
+    oracle: DuckDB recomputes the same rates from the same counts and the
+    same md5 thresholds, reproducing the kept row set bit-for-bit."""
+    from poppy_spark.spark.sampling import proportional_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    out = proportional_mix(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.2, "de": 0.2, "es": 0.1}, seed=5
+    )
+    return out.select("doc_id", "lang")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1731,6 +1806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_agg": q_rolling_agg,
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
+        # round-4 additions
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "repeated_spans": q_repeated_spans,
+        "proportional_mix": q_proportional_mix,
         # pipeline operators
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
@@ -1887,6 +1966,71 @@ FROM s""",
         # exact value oracle: DuckDB's md5 over the same seeded key strings
         # reproduces the sampled/split row sets bit-for-bit
         "hash_sample_split": _hash_sample_oracle_sql(),
+        # TRUE-value float oracle: ln / division doubles are bit-identical
+        # between Spark and DuckDB (same trick as weighted_sample); AVG
+        # reassociation noise is far below the 9-sig-digit compare
+        "bigram_lm_scores": r"""
+WITH w AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), pairs AS (
+  SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS u(i)
+  WHERE len(words) >= 2
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT x) AS vs FROM (SELECT unnest(words) AS x FROM w)
+), lp AS (
+  SELECT p.doc_id,
+         ln((COALESCE(b.c12, 0) + 0.1) / (COALESCE(u.c1, 0) + 0.1 * CAST(v.vs AS DOUBLE))) AS logp
+  FROM pairs p LEFT JOIN big b USING (w1, w2) LEFT JOIN uni u USING (w1) CROSS JOIN v
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, AVG(logp) AS avg_logp FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp,
+       exp(-a.avg_logp) AS perplexity
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "repeated_spans": r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 4 = 0
+      THEN ' all rights reserved contact the site administrator today' ELSE '' END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM planted
+), spans AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         md5(array_to_string(words[i:i+7], ' ')) AS key
+  FROM w, unnest(generate_series(1, len(words) - 8 + 1)) AS u(i)
+  WHERE len(words) >= 8
+), per_doc AS (
+  SELECT key, doc_id, COUNT(*) AS n_in_doc, MIN(pos) AS min_pos
+  FROM spans GROUP BY key, doc_id
+)
+, agg AS (
+  SELECT key, COUNT(*) AS n_docs, CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+         MIN({'i': doc_id, 'p': min_pos}) AS fst
+  FROM per_doc GROUP BY key HAVING COUNT(*) >= 2
+)
+SELECT key AS span_hash, n_docs, n_occurrences,
+       fst.i AS first_id, fst.p AS first_pos FROM agg""",
+        # the rates CTE mirrors mix_keep_rates' float arithmetic
+        # operation-for-operation; the threshold comparison is the numeric
+        # equivalent of the hex-string compare in sampling._thr_hex
+        "proportional_mix": (
+            "WITH cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang), "
+            "wts AS (SELECT * FROM (VALUES ('en', 0.5), ('fr', 0.2), ('de', 0.2), ('es', 0.1)) w(lang, wt)), "
+            "sc AS (SELECT MIN(n / wt) AS s FROM cnt JOIN wts USING (lang) WHERE wt > 0 AND n > 0), "
+            "rates AS (SELECT c.lang, LEAST(w.wt * sc.s / c.n, 1.0) AS rate "
+            "FROM cnt c JOIN wts w USING (lang) CROSS JOIN sc) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang) "
+            "WHERE ('0x' || substr(md5('seed5|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "< LEAST(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT), 4294967295)"
+        ),
         # SUM must be cast: DuckDB types a bare SUM(BIGINT) as HUGEINT
         # (int128) while Spark returns BIGINT — the round-3 hash-mismatch
         "pack_sequences": (
@@ -2015,7 +2159,8 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
         ),
         "ann_recall_suite": (
             "SELECT 'lsh' AS chk, (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n, TRUE AS ok "
-            "UNION ALL SELECT 'ivf', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50), TRUE"
+            "UNION ALL SELECT 'ivf', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50), TRUE "
+            "UNION ALL SELECT 'pq', 20, TRUE"
         ),
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "

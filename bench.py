@@ -242,6 +242,19 @@ def main() -> None:
         lambda: line_dedup_corpus(docs, "text", "doc_id")
         .agg(F.sum(F.length("text"))).collect(),
     )
+    # 10b. line dedup under planted skew: ONE boilerplate line appended to
+    # every document (one digest holding n_docs copies).  The round-4 plan
+    # keeps text off the digest-keyed exchange, so this row should track
+    # line_dedup_docs, not blow up with the hot key
+    skew_docs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\naccept all cookies to continue")).alias("text"),
+    )
+    bench(
+        "line_dedup_skew",
+        lambda: line_dedup_corpus(skew_docs, "text", "doc_id")
+        .agg(F.sum(F.length("text"))).collect(),
+    )
     convs = docs.select(
         (F.col("doc_id") % 500).alias("conv"), F.col("doc_id").alias("idx"), "text"
     )
@@ -264,6 +277,13 @@ def main() -> None:
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)
+    # boot id: cross-boot timings on this VM class vary ~1.5x (see
+    # BENCH/PERF_NOTES.md) — only same-boot_id runs are comparable
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot_id = fh.read().strip()
+    except OSError:
+        boot_id = None
     print(
         json.dumps(
             {
@@ -274,6 +294,7 @@ def main() -> None:
                 "sf": sf,
                 "throughput": throughput,
                 "cpus": int(cpus),
+                "boot_id": boot_id,
             }
         )
     )

@@ -209,3 +209,56 @@ def quantile_buckets(
     return df.withColumn(
         output_col, F.when(v.isNotNull(), expr).cast("int")
     )
+
+
+def mix_keep_rates(
+    counts: Mapping[str, int], target_weights: Mapping[str, float]
+) -> dict[str, float]:
+    """Per-group keep rates realizing a target mixture (domain-mixing math).
+
+    Given observed group sizes and target proportions, find the keep rate
+    per group such that the EXPECTED kept sizes are proportional to
+    ``target_weights`` while retaining as many rows as possible — the
+    binding group is the one with the smallest ``count / weight`` ratio
+    (it is kept in full; every other group downsamples to match).  Groups
+    absent from ``target_weights`` get rate 0; weighted groups absent from
+    ``counts`` are ignored (nothing to keep).  Pure driver-side arithmetic
+    over one row per domain."""
+    ratios = [
+        counts[g] / w
+        for g, w in target_weights.items()
+        if w > 0 and counts.get(g, 0) > 0
+    ]
+    if not ratios:
+        return {g: 0.0 for g in counts}
+    scale = min(ratios)
+    out = {}
+    for g, n in counts.items():
+        w = target_weights.get(g, 0.0)
+        out[g] = min(w * scale / n, 1.0) if n > 0 and w > 0 else 0.0
+    return out
+
+
+def proportional_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_weights: Mapping[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministically re-mix a corpus to target domain proportions
+    (e.g. ``{"web": 0.6, "code": 0.3, "books": 0.1}``): one tiny
+    pre-aggregated count per domain sizes the keep rates
+    (:func:`mix_keep_rates`), then a single content-hash stratified filter
+    applies them — no shuffle of data rows, retry/layout-stable, and
+    reproducible in ANSI SQL exactly like :func:`stratified_sample`.
+
+    The largest mixture satisfiable without oversampling is kept: the
+    scarcest domain (relative to its weight) survives in full and the
+    rest downsample to match.  Expected proportions are exact; realized
+    counts are binomial around them (hash thresholds)."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    rates = mix_keep_rates(counts, target_weights)
+    return stratified_sample(df, key_col, group_col, rates, 0.0, seed)

@@ -421,3 +421,170 @@ def lsh_topk(
     scored = cands.select("query_id", "id", _dot(F.col("cv"), F.col("qv")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int = 4,
+    n_codes: int = 256,
+    iters: int = 8,
+    sample_per_code: int = 16,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011): split the
+    (L2-normalized) embedding into ``m_subspaces`` contiguous blocks and
+    k-means each block independently to ``n_codes`` codewords.  Returns a
+    ``(m_subspaces, n_codes, dim/m_subspaces)`` float64 array.
+
+    Training mirrors :func:`ivf_train_centroids`: a bottom-k content-hash
+    sample bounds driver memory (independent of corpus size) and makes
+    training deterministic across runs, layouts, and cluster sizes."""
+    if m_subspaces < 1 or n_codes < 2:
+        raise ValueError("need m_subspaces >= 1 and n_codes >= 2")
+    n_sample = n_codes * sample_per_code
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"pq{seed}|"), F.col(id_col).cast("string"))), 1, 16
+    )
+    rows = (
+        with_normalized(corpus, vec_col)
+        .select(F.col("vec_n"), h.alias("__h"))
+        .filter(F.col("vec_n").isNotNull())
+        .orderBy("__h")
+        .limit(n_sample)
+        .collect()
+    )
+    x = np.asarray([r["vec_n"] for r in rows], dtype=np.float64)
+    if x.shape[0] < n_codes:
+        raise ValueError(
+            f"sample has {x.shape[0]} rows, fewer than n_codes={n_codes}"
+        )
+    dim = x.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    books = np.empty((m_subspaces, n_codes, dsub), dtype=np.float64)
+    for m in range(m_subspaces):
+        sub = x[:, m * dsub : (m + 1) * dsub]
+        cents = sub[:n_codes].copy()  # hash-ordered sample -> deterministic init
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if members.size:
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """``(id, codes array<int>)``: each vector's nearest codeword per
+    subspace — the 8-bit-per-subspace compressed index (a 768-dim float32
+    embedding becomes ``m_subspaces`` bytes, ~768x smaller at m=4).  One
+    Arrow-batched distance pass per 16k-row batch; the codebooks ship as a
+    single Spark broadcast."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(vecs):
+        books = bc.value
+        m, n_codes, dsub = books.shape
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            sub = x[:, i * dsub : (i + 1) * dsub]
+            # argmin ||s - c||^2 == argmax s.c - ||c||^2/2
+            scores = sub @ books[i].T - 0.5 * (books[i] ** 2).sum(axis=1)
+            out[:, i] = np.argmax(scores, axis=1)
+        return pd.Series(list(out))
+
+    encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(encode, "array<int>")
+    c = (
+        with_normalized(corpus, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
+        .filter(F.col("cv").isNotNull())
+    )
+    return c.select("id", udf(F.col("cv")).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    ``(m, n_codes)`` lookup table of subspace dot products ONCE, every
+    corpus code scores with ``m`` table lookups instead of a ``dim``-wide
+    dot product, and each Arrow batch emits only its local top-k per query
+    before the global window — output is bounded by batches x queries x k,
+    never |corpus| x |queries|.  Queries + LUTs travel as one broadcast
+    (~``8 * m * n_codes`` bytes per query)."""
+    import pandas as pd
+
+    spark = codes.sparkSession
+    qrows = (
+        with_normalized(queries, vec_col)
+        .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .collect()
+    )
+    m, n_codes, dsub = codebooks.shape
+    luts, qids = [], []
+    for r in qrows:
+        q = np.asarray(r["qv"], dtype=np.float64)
+        lut = np.empty((m, n_codes), dtype=np.float64)
+        for i in range(m):
+            lut[i] = codebooks[i] @ q[i * dsub : (i + 1) * dsub]
+        luts.append(lut)
+        qids.append(r["query_id"])
+    bc = spark.sparkContext.broadcast((qids, np.stack(luts) if luts else None))
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("id", codes.schema["id"].dataType),
+            T.StructField("approx_cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        qids_b, luts_b = bc.value
+        if luts_b is None:
+            return
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cm = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf["id"].to_numpy()
+            for qi, qid in enumerate(qids_b):
+                lut = luts_b[qi]  # (m, n_codes)
+                s = lut[0][cm[:, 0]].copy()
+                for i in range(1, lut.shape[0]):
+                    s += lut[i][cm[:, i]]
+                top = np.argsort(-s, kind="stable")[:k]
+                yield pd.DataFrame(
+                    {"query_id": qid, "id": ids[top], "approx_cosine": s[top]}
+                )
+
+    cand = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

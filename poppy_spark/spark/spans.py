@@ -1,0 +1,124 @@
+"""Repeated-span detection: verbatim word n-gram spans shared across
+documents — the memorization/boilerplate audit primitive (the signal
+behind suffix-array dedup a la Lee et al. 2022 "Deduplicating Training
+Data Makes Language Models Better", approximated with fixed-length hashed
+spans so it runs as two partially-aggregated shuffles instead of a
+corpus-wide suffix sort).
+
+Span keys are ``md5`` of the space-joined window, so ANSI engines
+reproduce the result exactly (TRUE-value oracle, no bound gates).
+
+Physical shape at 100 TB: the explode emits one (32-byte digest, id, pos)
+tuple per word position — never span text; both aggregations are map-side
+combined, so a boilerplate span repeated 10^6 times contributes one
+partial row per map task to its digest's shuffle partition.  ``stride``
+thins the shuffle by CONTENT (winnowing-style: keep a span iff its digest
+mod stride == 0) — the same span text is selected in every document or in
+none, so cross-document matches survive subsampling; positional striding
+would sample mis-aligned windows in different documents and miss them.  A
+shared run of L words carries L - span_words + 1 distinct span contents,
+each kept with probability 1/stride, so long repeats are caught with
+probability ~1 - (1 - 1/stride)^(L - span_words + 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from poppy_spark.spark.text import _words
+
+
+def _span_keys(text_col: str, span_words: int, stride: int):
+    w = _words(F.col(text_col))
+    n = F.size(w)
+    starts = F.when(
+        n >= span_words,
+        F.sequence(F.lit(1), F.greatest(n - span_words + 1, F.lit(1))),
+    ).otherwise(F.array().cast("array<int>"))
+    keyed = F.transform(
+        starts,
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(w, i, span_words))).alias("key"),
+        ),
+    )
+    if stride == 1:
+        return keyed
+    # content-determined selection: digest prefix mod stride — identical
+    # span text is kept or dropped identically in every document
+    return F.filter(
+        keyed,
+        lambda s: F.conv(F.substring(s["key"], 1, 8), 16, 10).cast("bigint")
+        % stride
+        == 0,
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 20,
+    min_docs: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """``(span_hash, n_docs, n_occurrences, first_id, first_pos)`` for
+    every ``span_words``-word span appearing in at least ``min_docs``
+    distinct documents.  ``first_*`` is the globally smallest
+    ``(id, word position)`` occurrence — a deterministic representative
+    for extraction (:func:`span_texts`)."""
+    if span_words < 2:
+        raise ValueError(f"span_words must be >= 2, got {span_words}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_span_keys(text_col, span_words, stride)).alias("s"),
+    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+    # two-phase distinct-doc count: (key, id) first so the per-doc phase
+    # map-combines, then the per-key rollup sees one row per (key, doc)
+    per_doc = spans.groupBy("__key", "__id").agg(
+        F.count("*").alias("n_in_doc"), F.min("__pos").alias("min_pos")
+    )
+    return (
+        per_doc.groupBy("__key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+            F.min(F.struct(F.col("__id"), F.col("min_pos"))).alias("f"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            F.col("__key").alias("span_hash"),
+            "n_docs",
+            "n_occurrences",
+            F.col("f.__id").alias("first_id"),
+            F.col("f.min_pos").alias("first_pos"),
+        )
+    )
+
+
+def span_texts(
+    spans: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int,
+) -> DataFrame:
+    """Join the representative occurrences back to their documents and
+    slice out the actual span text — doc-keyed equi-join (skew-free: one
+    row per repeated span on the left, unique ids on the right), the text
+    never shuffles on the span digest."""
+    docs = df.select(
+        F.col(id_col).alias("first_id"), _words(F.col(text_col)).alias("__w")
+    )
+    return spans.join(docs, "first_id").select(
+        "span_hash",
+        "n_docs",
+        "n_occurrences",
+        "first_id",
+        "first_pos",
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), F.col("first_pos") + 1, span_words)
+        ).alias("span_text"),
+    )
