@@ -462,3 +462,29 @@ class TestGroupedFlushBudget:
         assert states.count() == 10_000
         hits = bloom_contains_grouped_join(df, "text", "conv", states)
         assert hits.filter("NOT hit").count() == 0
+
+    def test_compact_wire_sketches_flush_on_populated_bound(self, spark, orders):
+        """Round-4 advice: Theta/KLL/TopK/TDigest have tiny EMPTY wire
+        forms; the flush guard must budget their POPULATED size (the
+        memory_bound_bytes overrides), and a flush-heavy build must equal
+        the unflushed one — multiple partials per group merge freely."""
+        from poppy_spark.sketches import KllSketch, ThetaSketch, TopKSketch
+        from poppy_spark.spark.agg import build_sketch_grouped
+
+        # theta's k-smallest-distinct merge is merge-tree invariant: exact
+        # value equality; KLL (seeded compaction) and TopK (Misra-Gries
+        # decrements) are only bound-invariant: compare the exactly-
+        # preserved totals instead
+        for fac, cls, close in (
+            (ThetaSketch.factory(256), ThetaSketch, lambda s: sorted(s.values.tolist())),
+            (KllSketch.factory(64), KllSketch, lambda s: s.n),
+            (TopKSketch.factory(32), TopKSketch, lambda s: s.n_total),
+        ):
+            a = build_sketch_grouped(orders, "o_custkey", ["o_orderpriority"], fac)
+            b = build_sketch_grouped(
+                orders, "o_custkey", ["o_orderpriority"], fac,
+                max_task_state_bytes=1,  # flush after every batch
+            )
+            am = {r["o_orderpriority"]: close(cls.loads(bytes(r["state"]))) for r in a.collect()}
+            bm = {r["o_orderpriority"]: close(cls.loads(bytes(r["state"]))) for r in b.collect()}
+            assert am == bm, cls.__name__
