@@ -274,6 +274,47 @@ def main() -> None:
         ).count(),
     )
 
+    # round-4 operators
+    from poppy_spark.spark.lm import score_bigram_lm, train_bigram_lm
+    from poppy_spark.spark.sampling import proportional_mix
+    from poppy_spark.spark.spans import repeated_spans
+
+    def lm_train_score():
+        bigrams, unigrams, v = train_bigram_lm(docs, "text", "doc_id")
+        return (
+            score_bigram_lm(docs, "text", "doc_id", bigrams, unigrams, v)
+            .agg(F.avg("perplexity"))
+            .collect()
+        )
+
+    bench("lm_docs", lm_train_score)
+    bench(
+        "spans_docs",
+        lambda: repeated_spans(docs, "text", "doc_id", span_words=10, min_docs=2).count(),
+    )
+    bench(
+        "mix_docs",
+        lambda: proportional_mix(
+            docs, "doc_id", "lang", {"en": 0.5, "fr": 0.2, "de": 0.2, "es": 0.1}
+        ).count(),
+    )
+
+    from poppy_spark.spark.similarity import pq_encode, pq_topk, pq_train_codebooks
+
+    pq_books = bench(
+        "pq_train_encode",
+        lambda: (
+            lambda b: (pq_encode(emb, "vec_id", "embedding", b).count(), b)[1]
+        )(pq_train_codebooks(emb, "vec_id", "embedding", 16, 64, iters=5)),
+    )
+    pq_codes = pq_encode(emb, "vec_id", "embedding", pq_books).cache()
+    pq_codes.count()
+    bench(
+        "pq_topk",
+        lambda: pq_topk(pq_codes, ivf_queries, "embedding", "qid", 10, pq_books).count(),
+    )
+    pq_codes.unpersist()
+
     throughput["events_M_rows_per_sec_hll"] = round(n_events / timings["hll_grouped"] / 1e6, 3)
 
     total = round(sum(timings.values()), 4)

@@ -68,10 +68,17 @@ def submit(cores: int, zip_path: str, data: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1:
-        from bench.scaling import _make_dataset  # reuse the deterministic generator
+        # load the sibling generator by path: the repo-root bench.py module
+        # shadows the bench/ directory, so `import bench.scaling` would fail
+        import importlib.util
 
+        spec = importlib.util.spec_from_file_location(
+            "_poppy_bench_scaling", os.path.join(REPO, "bench", "scaling.py")
+        )
+        scaling = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(scaling)
         data = os.environ.get("POPPY_SCALE_DATA", "/tmp/poppy_scaling_transcripts")
-        _make_dataset(data, int(sys.argv[1]))
+        scaling._make_dataset(data, int(sys.argv[1]))
     else:
         data = os.environ.get("POPPY_SCALE_DATA", "/tmp/poppy_scaling_transcripts")
 

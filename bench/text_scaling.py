@@ -8,7 +8,9 @@ Jobs:
 * ``tfidf``   — per-doc top-3 TF-IDF terms (explode + two aggs + join),
 * ``repeat``  — Gopher repetition signals (array exprs + doc-keyed aggs),
 * ``convdd``  — whole-conversation dedup (ordered digests, md5 grouping),
-* ``wsample`` — weighted A-ES sample (partial agg + TakeOrdered).
+* ``wsample`` — weighted A-ES sample (partial agg + TakeOrdered),
+* ``spans``   — round-4 repeated-span detection (winnowing stride 4;
+  every replicated doc repeats its spans 60x — dense cross-doc mass).
 
 The input replicates the sf0.1 documents table REPL_FACTOR times with
 disjoint doc_ids (fixed overheads would dominate the raw 5k rows).
@@ -57,6 +59,7 @@ def _run_at(cores: int, path: str) -> dict:
     from poppy_spark.spark.dedup import ordered_group_duplicates
     from poppy_spark.spark.sampling import weighted_sample
     from poppy_spark.spark.session import get_spark
+    from poppy_spark.spark.spans import repeated_spans
     from poppy_spark.spark.text import repetition_stats, tf_idf_top_terms
 
     spark = get_spark(f"poppy-text-scaling-{cores}", master=f"local[{cores}]",
@@ -98,6 +101,11 @@ def _run_at(cores: int, path: str) -> dict:
         "wsample_sec": round(best(
             lambda: weighted_sample(words, "word", "w", 1000).count()
         ), 3),
+        "spans_sec": round(best(
+            lambda: repeated_spans(
+                df, "text", "doc_id", span_words=10, min_docs=2, stride=4
+            ).count()
+        ), 3),
     }
     spark.stop()
     return out
@@ -110,7 +118,7 @@ def main() -> None:
 
     lo, hi = PAIR
     runs = {c: _run_at(c, path) for c in (lo, hi)}
-    jobs = ("tfidf", "repeat", "convdd", "wsample")
+    jobs = ("tfidf", "repeat", "convdd", "wsample", "spans")
     ratio = hi / lo
 
     lines = [

@@ -1107,6 +1107,39 @@ class GroupedShardedBloom:
             F.sum(shard_est(F.col("state"))).cast("long").alias("estimate")
         )
 
+    def save(self, directory: str) -> None:
+        """Persist as parquet state rows (partitioned by the group column,
+        so single-group reads prune at the scan) + a JSON params sidecar
+        carrying the group column name — same layout family as
+        ``ShardedBloom.save``."""
+        self.states.write.mode("overwrite").partitionBy(self.group_col).parquet(
+            os.path.join(directory, "shards")
+        )
+        meta = {
+            "capacity": self.params.capacity,
+            "fpp": self.params.fpp,
+            "n_buckets": self.params.n_buckets,
+            "n_hash_buck": self.params.n_hash_buck,
+            "n_shards": self.params.n_shards,
+            "bps": self.params.bps,
+            "group_col": self.group_col,
+        }
+        spark = self.states.sparkSession
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").json(os.path.join(directory, "meta"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, directory: str) -> "GroupedShardedBloom":
+        meta_raw = spark.read.json(os.path.join(directory, "meta")).collect()[0]["meta"]
+        m = json.loads(meta_raw)
+        p = _Params(
+            m["capacity"], m["fpp"], m["n_buckets"], m["n_hash_buck"],
+            m["n_shards"], m["bps"],
+        )
+        states = spark.read.parquet(os.path.join(directory, "shards"))
+        return cls(p, m["group_col"], states)
+
     def reassemble_group(self, group_value) -> bytes:
         """One group's shards OR'd into a complete poppy v2 file (bytes).
         Collect-based: intended for tests/export of a single group."""

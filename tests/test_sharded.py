@@ -522,3 +522,28 @@ class TestGroupedSharded:
             a.intersection(b)
         with _pytest.raises(MergeError):
             a.count_common(b)
+
+    def test_grouped_save_load_roundtrip(self, spark, tmp_path):
+        """Round-4: grouped sharded filters persist (group-partitioned
+        parquet + params sidecar) and reload byte-equal; partitioned
+        layout lets a single-group read prune at the scan."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sharded import (
+            GroupedShardedBloom,
+            build_sharded_bloom_grouped,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        gsb = build_sharded_bloom_grouped(
+            ev, "user_id", "event_type", capacity=5_000, fpp=0.001, n_shards=4
+        )
+        d = str(tmp_path / "gsb")
+        gsb.save(d)
+        back = GroupedShardedBloom.load(spark, d)
+        assert back.params == gsb.params
+        assert back.group_col == "event_type"
+        for gval in ["click", "view"]:
+            assert back.reassemble_group(gval) == gsb.reassemble_group(gval)
+        probed = back.contains(ev.select("event_type", "user_id"), "user_id")
+        assert probed.filter(~F.col("hit")).count() == 0
