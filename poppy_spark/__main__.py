@@ -311,6 +311,39 @@ def cmd_clean(args) -> int:
             spark.stop()
 
 
+def cmd_spans(args) -> int:
+    """Beyond-reference: repeated verbatim span audit of a parquet corpus
+    (memorization/boilerplate discovery, ``spark/spans.py``) — one JSON
+    line per repeated span, heaviest first."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    spark, owned = _get_session(args.jobs)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        from poppy_spark.spark.spans import repeated_spans, span_texts
+
+        df = spark.read.parquet(args.table)
+        spans = repeated_spans(
+            df, args.text_col, args.id_col,
+            span_words=args.span_words, min_docs=args.min_docs,
+            stride=args.stride,
+        )
+        if args.show_text:
+            spans = span_texts(spans, df, args.text_col, args.id_col, args.span_words)
+        for r in (
+            spans.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span_hash")
+            .limit(args.top)
+            .collect()
+        ):
+            print(json.dumps(r.asDict()))
+        return 0
+    finally:
+        if owned:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="poppy_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -366,6 +399,20 @@ def main(argv=None) -> int:
     cl.add_argument("table", help="input parquet path")
     cl.add_argument("out", help="output parquet path")
     cl.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("spans", help="repeated-span audit (beyond-reference)")
+    sp.add_argument("-j", "--jobs", type=int, default=4)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--span-words", type=int, default=20)
+    sp.add_argument("--min-docs", type=int, default=2)
+    sp.add_argument("--stride", type=int, default=1,
+                    help="content-hash (winnowing) subsampling factor")
+    sp.add_argument("--top", type=int, default=50)
+    sp.add_argument("--show-text", action="store_true",
+                    help="join the representative span text back")
+    sp.add_argument("table", help="parquet path")
+    sp.set_defaults(fn=cmd_spans)
 
     args = p.parse_args(argv)
     return args.fn(args)

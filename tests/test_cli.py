@@ -110,3 +110,32 @@ def test_cli_clean(tmp_path, capsys):
     assert rc == 0
     stat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stat["rows_in"] == 500 and 0 < stat["rows_out"] <= 500
+
+
+def test_cli_spans(spark, tmp_path, capsys):
+    """Round-4 `spans` subcommand: the planted shared tail surfaces as the
+    heaviest repeated span, one JSON line per span."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from poppy_spark.__main__ import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" subscribe to our newsletter for more updates")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    rc = main([
+        "spans", "-j", "2", "--span-words", "7", "--top", "5", "--show-text", path,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(out) <= 5
+    rows = [json.loads(x) for x in out]
+    assert rows[0]["n_docs"] >= 100  # the planted tail dominates
+    assert "subscribe to our newsletter" in rows[0]["span_text"]
