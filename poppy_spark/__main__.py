@@ -30,6 +30,26 @@ from poppy_spark.core import BloomFilter, OptLevel, load
 CHUNK = 65536
 
 
+
+def _session_exists() -> bool:
+    """Is there a SparkSession this process did not create via this
+    command?  ``getActiveSession`` alone is thread-local — a session made
+    in another thread would read as absent and get stopped on exit
+    (round-3 advice).  PySpark has no public process-wide getter, so fall
+    back to the stable ``_instantiatedSession`` attribute."""
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is not None:
+        return True
+    get_default = getattr(SparkSession, "getDefaultSession", None)
+    if callable(get_default):  # newer pyspark, if it grows the API
+        try:
+            return get_default() is not None
+        except Exception:
+            pass
+    return getattr(SparkSession, "_instantiatedSession", None) is not None
+
+
 def _iter_chunks(paths: list[str]):
     if not paths:
         buf = [line.rstrip("\n").encode() for line in sys.stdin]
@@ -84,13 +104,7 @@ def _create_spark(args) -> int:
 
     # only stop the session on exit if WE created it — getOrCreate may hand
     # back a session owned by the embedding process (tests, notebooks)
-    owned = (
-        SparkSession.getActiveSession() is None
-        # getActiveSession is thread-local; also check the
-        # process-wide default so a session created in another
-        # thread is never stopped by this command (round-3 advice)
-        and SparkSession.getDefaultSession() is None
-    )
+    owned = not _session_exists()
     spark = get_spark(
         "poppy-cli-create", master=f"local[{args.jobs}]", shuffle_partitions=args.jobs
     )
@@ -149,13 +163,7 @@ def cmd_show(args) -> int:
         from poppy_spark.spark.session import get_spark
         from poppy_spark.spark.sharded import ShardedBloom
 
-        owned = (
-        SparkSession.getActiveSession() is None
-        # getActiveSession is thread-local; also check the
-        # process-wide default so a session created in another
-        # thread is never stopped by this command (round-3 advice)
-        and SparkSession.getDefaultSession() is None
-    )
+        owned = not _session_exists()
         spark = get_spark("poppy-cli-show", master="local[2]", shuffle_partitions=2)
         try:
             spark.sparkContext.setLogLevel("ERROR")
@@ -239,13 +247,7 @@ def _get_session(jobs: int):
 
     from poppy_spark.spark.session import get_spark
 
-    owned = (
-        SparkSession.getActiveSession() is None
-        # getActiveSession is thread-local; also check the
-        # process-wide default so a session created in another
-        # thread is never stopped by this command (round-3 advice)
-        and SparkSession.getDefaultSession() is None
-    )
+    owned = not _session_exists()
     spark = get_spark(
         app_name="poppy-spark-cli", master=f"local[{jobs}]",
         shuffle_partitions=max(jobs, 1),

@@ -139,3 +139,27 @@ def test_cli_spans(spark, tmp_path, capsys):
     rows = [json.loads(x) for x in out]
     assert rows[0]["n_docs"] >= 100  # the planted tail dominates
     assert "subscribe to our newsletter" in rows[0]["span_text"]
+
+
+def test_cli_standalone_subprocess(tmp_path):
+    """The CLI must work in a FRESH process with no ambient SparkSession —
+    an in-process test session short-circuits the ownership check and can
+    mask breakage there (exactly how the round-4 getDefaultSession
+    AttributeError slipped past the in-process tests)."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "poppy_spark", "spans", "-j", "2",
+            "--span-words", "4", "--min-docs", "2", "--top", "2",
+            "/root/testdata/sf0.001/documents.parquet",
+        ],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, proc.stdout[-500:]
+    assert json.loads(lines[0])["n_docs"] >= 2
