@@ -253,3 +253,157 @@ class TestProductQuantization:
             pq_train_codebooks(emb, "vec_id", "embedding", 0, 16)
         with pytest.raises(ValueError):
             pq_train_codebooks(emb, "vec_id", "embedding", 7, 16)  # 128 % 7 != 0
+
+
+class TestRound4Properties:
+    """Brute-force Python references vs the distributed operators on
+    randomized inputs (hypothesis) — the same cross-implementation
+    pinning style as the wyhash clean-room oracle."""
+
+    @pytest.fixture(scope="class")
+    def _spark(self, spark):
+        return spark
+
+    def test_spans_match_bruteforce(self, spark):
+        import collections
+        import hashlib
+
+        import hypothesis.strategies as st
+        from hypothesis import HealthCheck, given, settings
+
+        from poppy_spark.spark.spans import repeated_spans
+
+        word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+        doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.lists(doc, min_size=1, max_size=6))
+        def check(texts):
+            span_w, min_docs = 3, 2
+            # brute-force reference
+            per_doc = collections.defaultdict(lambda: [0, None])  # key -> [n, min_pos] per doc
+            occ = collections.defaultdict(dict)
+            for did, t in enumerate(texts):
+                ws = [w for w in t.lower().split() if w]
+                for i in range(len(ws) - span_w + 1):
+                    k = hashlib.md5(" ".join(ws[i:i + span_w]).encode()).hexdigest()
+                    n, mp = occ[k].get(did, (0, None))
+                    occ[k][did] = (n + 1, i if mp is None else mp)
+            want = {}
+            for k, docs_d in occ.items():
+                if len(docs_d) >= min_docs:
+                    fid = min(docs_d)
+                    want[k] = (
+                        len(docs_d),
+                        sum(n for n, _ in docs_d.values()),
+                        fid,
+                        docs_d[fid][1],
+                    )
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            )
+            got = {
+                r["span_hash"]: (
+                    r["n_docs"], r["n_occurrences"], r["first_id"], r["first_pos"]
+                )
+                for r in repeated_spans(df, "text", "doc_id", span_w, min_docs).collect()
+            }
+            assert got == want
+
+        check()
+
+    def test_lm_scores_match_bruteforce(self, spark):
+        import collections
+        import math
+
+        import hypothesis.strategies as st
+        from hypothesis import HealthCheck, given, settings
+
+        from poppy_spark.spark.lm import score_bigram_lm, train_bigram_lm
+
+        word = st.sampled_from(["x", "y", "zz"])
+        doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.lists(doc, min_size=1, max_size=5))
+        def check(texts):
+            k = 0.25
+            # reference counts
+            big = collections.Counter()
+            uni = collections.Counter()
+            vocab = set()
+            toks = {}
+            for did, t in enumerate(texts):
+                ws = [w for w in t.lower().split() if w]
+                toks[did] = ws
+                vocab.update(ws)
+                for a, b in zip(ws, ws[1:]):
+                    big[(a, b)] += 1
+                    uni[a] += 1
+            v = len(vocab)
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            )
+            bigrams, unigrams, v_got = train_bigram_lm(df, "text", "doc_id")
+            assert v_got == v
+            got = {
+                r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                for r in score_bigram_lm(
+                    df, "text", "doc_id", bigrams, unigrams, v, k
+                ).collect()
+            }
+            for did, ws in toks.items():
+                pairs = list(zip(ws, ws[1:]))
+                assert got[did][0] == len(pairs)
+                if not pairs:
+                    assert got[did][1] is None
+                    continue
+                want = sum(
+                    math.log((big[p] + k) / (uni[p[0]] + k * v)) for p in pairs
+                ) / len(pairs)
+                assert got[did][1] == pytest.approx(want, rel=1e-12)
+
+        check()
+
+    def test_mix_rates_properties(self):
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from poppy_spark.spark.sampling import mix_keep_rates
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.dictionaries(
+                st.sampled_from("abcdef"), st.integers(1, 10_000), min_size=1
+            ),
+            st.dictionaries(
+                st.sampled_from("abcdef"),
+                st.floats(0.01, 10.0, allow_nan=False),
+                min_size=1,
+            ),
+        )
+        def check(counts, weights):
+            rates = mix_keep_rates(counts, weights)
+            assert set(rates) == set(counts)
+            assert all(0.0 <= r <= 1.0 for r in rates.values())
+            common = [g for g in counts if weights.get(g, 0) > 0]
+            if not common:
+                assert all(r == 0.0 for r in rates.values())
+                return
+            # the binding group survives whole
+            binding = min(common, key=lambda g: counts[g] / weights[g])
+            assert rates[binding] == pytest.approx(1.0)
+            # expected kept sizes proportional to target weights
+            kept = {g: counts[g] * rates[g] for g in common}
+            wsum = sum(weights[g] for g in common)
+            ksum = sum(kept.values())
+            for g in common:
+                assert kept[g] / ksum == pytest.approx(weights[g] / wsum, rel=1e-9)
+
+        check()
