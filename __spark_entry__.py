@@ -1548,6 +1548,26 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     own = sum(1 for r in approx if r["id"] == r["query_id"])
     ok = hits / (10 * len(qids)) >= 0.7 and own >= 0.9 * len(qids)
     rows.append(("pq", len(qids), bool(ok)))
+
+    # IVF-PQ composition (FAISS IVFPQ shape): cell-pruned ADC top-20 must
+    # recall >= 60% of the exact top-10 at half the cells probed and still
+    # retrieve the query's own vector >= 90% of the time
+    from poppy_spark.spark.similarity import ivfpq_topk
+
+    approx = ivfpq_topk(
+        emb, q, "vec_id", "embedding", "qid", k=20,
+        n_centroids=16, n_probe=8, m_subspaces=16, n_codes=64,
+    ).collect()
+    hits = sum(
+        len(
+            {r["id"] for r in approx if r["query_id"] == qid}
+            & {r["id"] for r in exact if r["query_id"] == qid}
+        )
+        for qid in qids
+    )
+    own = sum(1 for r in approx if r["id"] == r["query_id"])
+    ok = hits / (10 * len(qids)) >= 0.6 and own >= 0.9 * len(qids)
+    rows.append(("ivfpq", len(qids), bool(ok)))
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -2160,7 +2180,8 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
         "ann_recall_suite": (
             "SELECT 'lsh' AS chk, (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n, TRUE AS ok "
             "UNION ALL SELECT 'ivf', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50), TRUE "
-            "UNION ALL SELECT 'pq', 20, TRUE"
+            "UNION ALL SELECT 'pq', 20, TRUE "
+            "UNION ALL SELECT 'ivfpq', 20, TRUE"
         ),
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "

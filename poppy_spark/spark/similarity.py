@@ -588,3 +588,118 @@ def pq_topk(
     cand = codes.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 64,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS IVFPQ shape) — IVF
+    cells prune WHICH vectors are scored, PQ codes decide HOW cheaply:
+    each corpus vector stores one cell id + ``m_subspaces`` code bytes,
+    each query probes its ``n_probe`` nearest cells and ADC-scores only
+    those cells' codes with table lookups.  At 100 TB the index is
+    ~``m_subspaces`` bytes/vector (vs 4*dim for float32) and a query
+    touches ``n_probe / n_centroids`` of it — both knobs independent.
+
+    Composition of the audited pieces: :func:`ivf_train_centroids` /
+    cell assignment (one shared broadcast), :func:`pq_train_codebooks` /
+    :func:`pq_encode` (codes computed on the full normalized vector — the
+    flat-PQ variant; residual encoding would couple the codebooks to the
+    quantizer and is unnecessary for cosine on normalized vectors), and
+    the per-batch local-top-k ADC scorer from :func:`pq_topk` restricted
+    by a broadcast cell equi-join.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, id_col, vec_col, n_centroids)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, id_col, vec_col, m_subspaces, n_codes)
+    # corpus side: one pass computes the cell AND the codes
+    c = (
+        with_normalized(corpus, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
+        .filter(F.col("cv").isNotNull())
+    )
+    bc_cent = spark.sparkContext.broadcast(centroids.T.copy())
+    nc = centroids.shape[0]
+    c_cells = c.withColumn("cell", _ivf_cells_udf(bc_cent, nc, 1)(F.col("cv")))
+    c_cells = c_cells.withColumn("cell", F.col("cell")[0])
+    codes = pq_encode(c_cells, "id", "cv", codebooks).join(
+        c_cells.select("id", "cell"), "id"
+    )
+
+    # query side: probe cells + an ADC lookup table per query
+    qrows = (
+        with_normalized(queries, vec_col)
+        .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .collect()
+    )
+    m, n_codes_b, dsub = codebooks.shape
+    cent_t = centroids.T
+    luts, qids, probe_cells = [], [], []
+    p = min(n_probe, nc)
+    for r in qrows:
+        q = np.asarray(r["qv"], dtype=np.float64)
+        scores = q @ cent_t
+        top = np.argpartition(-scores, p - 1)[:p]
+        probe_cells.append(set(int(x) for x in top))
+        lut = np.empty((m, n_codes_b), dtype=np.float64)
+        for i in range(m):
+            lut[i] = codebooks[i] @ q[i * dsub : (i + 1) * dsub]
+        luts.append(lut)
+        qids.append(r["query_id"])
+    bc = spark.sparkContext.broadcast(
+        (qids, np.stack(luts) if luts else None, probe_cells)
+    )
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("id", corpus.schema[id_col].dataType),
+            T.StructField("approx_cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        qids_b, luts_b, cells_b = bc.value
+        if luts_b is None:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            cell_arr = pdf["cell"].to_numpy()
+            for qi, qid in enumerate(qids_b):
+                mask = np.isin(cell_arr, list(cells_b[qi]))
+                if not mask.any():
+                    continue
+                sub = cm[mask]
+                lut = luts_b[qi]
+                s = lut[0][sub[:, 0]].copy()
+                for i in range(1, lut.shape[0]):
+                    s += lut[i][sub[:, i]]
+                top = np.argsort(-s, kind="stable")[:k]
+                yield pd.DataFrame(
+                    {"query_id": qid, "id": ids[mask][top], "approx_cosine": s[top]}
+                )
+
+    cand = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

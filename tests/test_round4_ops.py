@@ -407,3 +407,53 @@ class TestRound4Properties:
                 assert kept[g] / ksum == pytest.approx(weights[g] / wsum, rel=1e-9)
 
         check()
+
+
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def emb2(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+    def test_full_probe_equals_pq_only(self, spark, emb2):
+        """Probing EVERY cell degenerates IVF-PQ to plain PQ ADC — same
+        codebooks must give the identical ranking."""
+        from poppy_spark.spark.similarity import (
+            ivf_train_centroids,
+            ivfpq_topk,
+            pq_encode,
+            pq_topk,
+            pq_train_codebooks,
+        )
+
+        cents = ivf_train_centroids(emb2, "vec_id", "embedding", 8)
+        books = pq_train_codebooks(emb2, "vec_id", "embedding", 8, 32, iters=3)
+        q = emb2.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+        full = ivfpq_topk(
+            emb2, q, "vec_id", "embedding", "qid", k=5,
+            n_probe=8, centroids=cents, codebooks=books,
+        )
+        codes = pq_encode(emb2, "vec_id", "embedding", books)
+        plain = pq_topk(codes, q, "embedding", "qid", 5, books)
+        want = sorted((r["query_id"], r["rank"], r["id"]) for r in plain.collect())
+        got = sorted((r["query_id"], r["rank"], r["id"]) for r in full.collect())
+        assert got == want
+
+    def test_recall_vs_exact(self, spark, emb2):
+        from poppy_spark.spark.similarity import cosine_topk, ivfpq_topk
+
+        q = emb2.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+        approx = ivfpq_topk(
+            emb2, q, "vec_id", "embedding", "qid", k=20,
+            n_centroids=16, n_probe=8, m_subspaces=16, n_codes=64,
+        ).collect()
+        exact = cosine_topk(emb2, q, "vec_id", "embedding", "qid", k=10).collect()
+        hits = 0
+        for qid in {r["query_id"] for r in exact}:
+            a = {r["id"] for r in approx if r["query_id"] == qid}
+            e = {r["id"] for r in exact if r["query_id"] == qid}
+            hits += len(a & e)
+        # half the cells probed + 16x64 PQ on worst-case gaussian data
+        assert hits / 100 >= 0.6
+        # self-retrieval survives the composition
+        own = sum(1 for r in approx if r["id"] == r["query_id"])
+        assert own >= 9
