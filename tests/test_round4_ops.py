@@ -457,3 +457,41 @@ class TestIvfPq:
         # self-retrieval survives the composition
         own = sum(1 for r in approx if r["id"] == r["query_id"])
         assert own >= 9
+
+
+def test_lm_scoring_under_zipf_skew(spark):
+    """The scoring join keys on w1 — a Zipf-dominant context word ("the"
+    in half of all bigrams) must neither break correctness nor the join
+    (AQE skew-split handles the hot key; counts stay exact)."""
+    import math
+
+    from poppy_spark.spark.lm import score_bigram_lm, train_bigram_lm
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the "), (F.col("id") % 1000).cast("string"),
+            F.lit(" the end"),
+        ).alias("text"),
+    )
+    bigrams, unigrams, v = train_bigram_lm(df, "text", "doc_id")
+    uni = {r["w1"]: r["c1"] for r in unigrams.collect()}
+    assert uni["the"] == 2 * n  # the hot context: 100k bigram left-sides
+    assert v == 1002
+    k = 0.1
+    out = score_bigram_lm(df, "text", "doc_id", bigrams, unigrams, v, k)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["n_bigrams"] == 3 for r in rows)
+    # hand-check one doc: bigrams (the, m), (m, the), (the, end)
+    r0 = next(r for r in rows if r["doc_id"] == 0)
+    c_the_0 = n // 1000          # ("the", "0") appears once per id%1000==0
+    c_0_the = n // 1000
+    c_the_end = n
+    want = (
+        math.log((c_the_0 + k) / (2 * n + k * v))
+        + math.log((c_0_the + k) / (c_the_0 + k * v))
+        + math.log((c_the_end + k) / (2 * n + k * v))
+    ) / 3
+    assert r0["avg_logp"] == pytest.approx(want, rel=1e-12)
