@@ -2,16 +2,22 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side machinery (schemas, batch shapes, partition-preserving
-signatures, metadata propagation) is real and tested; the codec step is a
-clearly marked stub because no image/audio libraries exist in this container
-— :func:`decode_image` raises ``NotImplementedError`` unless the
-deterministic fake decoder is requested, which produces seed-stable pixel
-statistics so downstream pipelines (dedup by content hash, feature
-extraction, resize bookkeeping) can be exercised end-to-end.
+signatures, metadata propagation) is real and tested.  Round 4 replaced
+the honesty-stub codec with REAL no-dependency decoders for two genuinely
+parseable formats — 24-bit uncompressed BMP (manual header parse + numpy
+pixel reshape, :func:`decode_bmp`) and PCM WAV (stdlib ``wave`` +
+numpy, :func:`decode_wav`) — plus a real nearest-neighbor resize.
+:func:`decode_image` now auto-detects BMP by magic; compressed formats
+(JPEG/PNG/MP3/H.264) still require an external codec and keep the
+clearly-marked fallback: ``NotImplementedError`` unless the deterministic
+fake decoder is requested.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -49,12 +55,114 @@ def _fake_decode(buf: bytes, w: int, h: int) -> np.ndarray:
     return rng.random((max(h, 1), max(w, 1)), dtype=np.float32)
 
 
+# ---------------------------------------------------------------------------
+# real codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> a real 24-bit uncompressed BMP file (the
+    format any image tool opens).  Rows are written bottom-up with 4-byte
+    padding and BGR channel order, per the BMP spec."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got {px.shape}")
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray(img_size)
+    bgr = px[:, :, ::-1]  # RGB -> BGR
+    for y in range(h):
+        row = bgr[h - 1 - y].tobytes()  # bottom-up
+        body[y * row_bytes : y * row_bytes + len(row)] = row
+    return header + bytes(body)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """A real BMP decoder: 24-bit uncompressed (BI_RGB) files -> (h, w, 3)
+    uint8 RGB.  Pure header parse + one numpy reshape; bottom-up or
+    top-down row order and 4-byte row padding handled per spec."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(buf) < need:
+        raise ValueError("truncated BMP")
+    raw = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage -> top-down array
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 16_000) -> bytes:
+    """float [-1, 1] mono samples -> a real 16-bit PCM WAV file."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    out = io.BytesIO()
+    with wave.open(out, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(framerate)
+        f.writeframes(pcm16.tobytes())
+    return out.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """A real WAV decoder (stdlib ``wave`` + numpy): PCM files -> (float64
+    mono samples in [-1, 1], framerate).  Multi-channel input is averaged
+    to mono; 8/16/32-bit sample widths supported."""
+    with wave.open(io.BytesIO(buf), "rb") as f:
+        nch, sw, rate, nframes = (
+            f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
+        )
+        raw = f.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real nearest-neighbor resize (pure numpy index gather) for (h, w)
+    or (h, w, c) arrays — the thumbnail/normalization step."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // max(out_h, 1), h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // max(out_w, 1), w - 1)
+    return img[ys][:, xs]
+
+
 def decode_image(buf: bytes, w: int, h: int, allow_fake: bool = False) -> np.ndarray:
+    """Image bytes -> (h, w) float32 luma plane.  Real path: BMP files
+    (detected by magic) decode for real and convert to luma via the
+    BT.601 weights.  Compressed formats need an external codec —
+    ``allow_fake`` keeps the deterministic stub for plumbing tests."""
+    if buf[:2] == b"BM":
+        rgb = decode_bmp(buf).astype(np.float32)
+        return (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        ) / 255.0
     if allow_fake:
         return _fake_decode(buf, w, h)
     raise NotImplementedError(
-        "no image codec available in this environment; pass allow_fake=True "
-        "for the deterministic stub or plug a real decoder here"
+        "only BMP decodes natively in this environment; pass allow_fake=True "
+        "for the deterministic stub or plug a real decoder (PIL/ffmpeg) here"
     )
 
 
@@ -84,6 +192,50 @@ def extract_media_features(
                 feats.append([float(x) for x in pooled])
             pdf = pdf.copy()
             pdf["feat"] = feats
+            yield pdf
+
+    return df.mapInPandas(stage, out_schema)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Append real audio features per WAV row via ``mapInPandas``:
+    ``audio_ms`` (duration), ``audio_rms`` (energy), ``audio_zcr``
+    (zero-crossing rate, a cheap voiced/unvoiced + noisiness signal),
+    ``audio_peak``.  Same bounded-batch Arrow shape as the image stage;
+    NULL media rows pass through with NULL features."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("audio_ms", T.IntegerType()),
+            T.StructField("audio_rms", T.DoubleType()),
+            T.StructField("audio_zcr", T.DoubleType()),
+            T.StructField("audio_peak", T.DoubleType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ms, rms, zcr, peak = [], [], [], []
+            for buf in pdf["media"]:
+                if buf is None:
+                    ms.append(None); rms.append(None); zcr.append(None); peak.append(None)
+                    continue
+                x, rate = decode_wav(bytes(buf))
+                n = x.size
+                ms.append(int(round(1000.0 * n / rate)) if n else 0)
+                rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+                zcr.append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1 else 0.0
+                )
+                peak.append(float(np.abs(x).max()) if n else 0.0)
+            pdf = pdf.copy()
+            pdf["audio_ms"] = ms
+            pdf["audio_rms"] = rms
+            pdf["audio_zcr"] = zcr
+            pdf["audio_peak"] = peak
             yield pdf
 
     return df.mapInPandas(stage, out_schema)
