@@ -1713,6 +1713,127 @@ def q_model_plug_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
+def q_runtime_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: Structured-Streaming fold zero-FN gate + transcripts
+    generator per-turn-text stability (folds streaming_fold /
+    transcripts_invariance into labeled rows)."""
+    rows = []
+    r = q_streaming_fold(spark, sf_dir).collect()[0]
+    rows.append(
+        ("streaming_fold", r["n_probed"], r["n_missed"] == 0 and bool(r["state_nonempty"]))
+    )
+    r = q_transcripts_invariance(spark, sf_dir).collect()[0]
+    rows.append(("transcripts_stable", 1, bool(r["stable"])))
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
+def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: REAL multimodal codecs driven at table scale — every
+    documents row gets a genuine 24-bit BMP (solid color derived from
+    doc_id) and a genuine PCM WAV (sine at a doc-derived frequency),
+    decoded by the no-dependency codecs through the Arrow feature stages;
+    gates are analytic (BMP luma == constructed gray level, WAV RMS ==
+    A/sqrt(2), ZCR == 2f/fs) and the content-hash dedup key is exact."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from poppy_spark.spark.multimodal import (
+        encode_bmp,
+        encode_wav,
+        extract_audio_features,
+        extract_media_features,
+        media_content_hash,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+
+    media_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("media_w", T.IntegerType()),
+            T.StructField("media_h", T.IntegerType()),
+            T.StructField("media_ms", T.IntegerType()),
+        ]
+    )
+
+    def make_bmp(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                g = int(did) % 256
+                px = np.full((8, 8, 3), g, dtype=np.uint8)
+                out.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "media_type": "image",
+                    "media_w": 8,
+                    "media_h": 8,
+                    "media_ms": None,
+                }
+            )
+
+    imgs = docs.mapInPandas(make_bmp, media_schema)
+    feats = extract_media_features(imgs, allow_fake=False).select("doc_id", "feat")
+    bad_img = (
+        feats.select(
+            "doc_id",
+            F.abs(F.col("feat")[0] - (F.col("doc_id") % 256) / F.lit(255.0)).alias("err"),
+        )
+        .filter(F.col("err") > 0.01)
+        .count()
+    )
+    n_distinct = media_content_hash(imgs).select("media_hash").distinct().count()
+    rows = [
+        ("bmp_luma_analytic", n_docs, bad_img == 0),
+        # 256 distinct gray levels -> exactly min(n_docs, 256) distinct blobs
+        ("bmp_dedup_hash", min(n_docs, 256), n_distinct == min(n_docs, 256)),
+    ]
+
+    rate = 8000
+
+    def make_wav(batches):
+        t = np.arange(rate // 4) / rate  # 250 ms
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                freq = 100.0 + (int(did) % 10) * 50.0
+                out.append(encode_wav(0.5 * np.sin(2 * math.pi * freq * t), rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "media_type": "audio",
+                    "media_w": None,
+                    "media_h": None,
+                    "media_ms": 250,
+                }
+            )
+
+    wavs = docs.mapInPandas(make_wav, media_schema)
+    afeat = extract_audio_features(wavs)
+    bad_audio = afeat.filter(
+        (F.col("audio_ms") != 250)
+        | (F.abs(F.col("audio_rms") - 0.5 / math.sqrt(2.0)) > 0.01)
+        | (
+            F.abs(
+                F.col("audio_zcr")
+                - 2.0 * (F.lit(100.0) + (F.col("doc_id") % 10) * 50.0) / F.lit(float(rate))
+            )
+            > 0.005
+        )
+    ).count()
+    rows.append(("wav_features_analytic", n_docs, bad_audio == 0))
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: add-k-smoothed bigram LM trained on the documents corpus
     (two grouped counts + a distinct-count) and self-scored — per-doc
@@ -1781,7 +1902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_sharded_bloom": q_grouped_sharded_bloom,
         "grouped_hc_membership": q_grouped_hc_membership,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
-        "streaming_fold": q_streaming_fold,
         "cosine_near_dup": q_cosine_near_dup,
         "dedup_guards": q_dedup_guards,
         # poppy core bloom surface
@@ -1830,13 +1950,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": q_bigram_lm_scores,
         "repeated_spans": q_repeated_spans,
         "proportional_mix": q_proportional_mix,
+        "multimodal_codecs": q_multimodal_codecs,
         # pipeline operators
         "decontaminate_eval": q_decontaminate_eval,
         "pack_sequences": q_pack_sequences,
         # transcripts (north-rule input)
         "transcripts_sketches": q_transcripts_sketches,
         "transcripts_rollup": q_transcripts_rollup,
-        "transcripts_invariance": q_transcripts_invariance,
+        "runtime_gates": q_runtime_gates,
     }
 
 
@@ -1973,7 +2094,16 @@ FROM s""",
         "transcripts_sketches": (
             "SELECT 0 AS n_missed, 4 AS n_roles, TRUE AS hll_within_bound"
         ),
-        "transcripts_invariance": "SELECT TRUE AS stable",
+        "runtime_gates": (
+            "SELECT 'streaming_fold' AS chk, 500 AS n, TRUE AS ok "
+            "UNION ALL SELECT 'transcripts_stable', 1, TRUE"
+        ),
+        "multimodal_codecs": (
+            "SELECT 'bmp_luma_analytic' AS chk, (SELECT COUNT(*) FROM documents) AS n, TRUE AS ok "
+            "UNION ALL SELECT 'bmp_dedup_hash', "
+            "(SELECT LEAST(COUNT(*), 256) FROM documents), TRUE "
+            "UNION ALL SELECT 'wav_features_analytic', (SELECT COUNT(*) FROM documents), TRUE"
+        ),
         # the transcripts table is generated in-session (not a registered
         # DuckDB view), so the oracle pins the deterministic generator's
         # group cardinalities and the expected in-bound verdicts
@@ -2277,9 +2407,6 @@ WITH words AS (
 )
 SELECT gram, COUNT(*) AS n_exact, TRUE AS within_bound FROM grams
 GROUP BY gram ORDER BY n_exact DESC, gram LIMIT 10""",
-        "streaming_fold": (
-            "SELECT 500 AS n_probed, 0 AS n_missed, TRUE AS state_nonempty"
-        ),
         "cosine_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
