@@ -299,6 +299,50 @@ def main() -> None:
         ).count(),
     )
 
+    # real-media codec throughput (BMP encode+decode+features per doc)
+    from poppy_spark.spark.multimodal import encode_bmp, extract_media_features
+
+    def media_row():
+        import numpy as _np
+        import pandas as _pd
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+                T.StructField("media_type", T.StringType()),
+                T.StructField("media_w", T.IntegerType()),
+                T.StructField("media_h", T.IntegerType()),
+                T.StructField("media_ms", T.IntegerType()),
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media": [
+                            encode_bmp(
+                                _np.full((16, 16, 3), int(d) % 256, dtype=_np.uint8)
+                            )
+                            for d in pdf["doc_id"]
+                        ],
+                        "media_type": "image",
+                        "media_w": 16,
+                        "media_h": 16,
+                        "media_ms": None,
+                    }
+                )
+
+        imgs = docs.select("doc_id").mapInPandas(gen, schema)
+        return extract_media_features(imgs, allow_fake=False).agg(
+            F.count("feat")
+        ).collect()
+
+    bench("media_codecs", media_row)
+
     from poppy_spark.spark.similarity import pq_encode, pq_topk, pq_train_codebooks
 
     pq_books = bench(

@@ -262,3 +262,34 @@ def proportional_mix(
     }
     rates = mix_keep_rates(counts, target_weights)
     return stratified_sample(df, key_col, group_col, rates, 0.0, seed)
+
+
+def grouped_bottom_k(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic bottom-k sample PER GROUP: for every group value, the
+    k rows with the smallest ``md5(seed|key)`` survive — the "inspect k
+    documents per domain" verb, content-determined like everything in
+    this module (stable across retries, layouts, cluster sizes; rows
+    sharing a key sample together ACROSS groups).
+
+    Shape: one shuffle keyed by the group + a rank window — per-task
+    memory is one partition's rows, and groups are processed
+    independently, so a million groups cost no more than ten.  ANSI
+    replica: ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    md5(...), key) <= k``."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    h = _hex8(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col).cast("string"))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

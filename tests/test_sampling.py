@@ -227,3 +227,43 @@ def test_quantile_buckets_null_values_get_null_bucket(spark):
     assert nulls.count() == 100
     assert nulls.filter(F.col("bucket").isNotNull()).count() == 0
     assert out.filter(F.col("v").isNotNull() & F.col("bucket").isNull()).count() == 0
+
+
+class TestGroupedBottomK:
+    def test_exact_per_group_and_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sampling import grouped_bottom_k
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = grouped_bottom_k(docs, "doc_id", "lang", 5, seed=2)
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for g, n in full.items():
+            assert counts.get(g, 0) == min(n, 5)
+        # layout-invariant row set
+        again = grouped_bottom_k(docs.repartition(13), "doc_id", "lang", 5, seed=2)
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
+        # matches the brute-force definition: k smallest md5(seed|key) per group
+        import hashlib
+
+        rows = docs.select("doc_id", "lang").collect()
+        bygroup = {}
+        for r in rows:
+            bygroup.setdefault(r["lang"], []).append(r["doc_id"])
+        want = set()
+        for g, ids in bygroup.items():
+            ranked = sorted(ids, key=lambda i: (hashlib.md5(f"seed2|{i}".encode()).hexdigest()[:8], str(i)))
+            want.update(ranked[:5])
+        assert {r["doc_id"] for r in out.collect()} == want
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from poppy_spark.spark.sampling import grouped_bottom_k
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with _pytest.raises(ValueError):
+            grouped_bottom_k(docs, "doc_id", "lang", 0)
