@@ -293,3 +293,38 @@ def grouped_bottom_k(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    n_buckets: int | None = None,
+    output_col: str = "epoch_rank",
+    bucket_col: str = "epoch_bucket",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data emission: every epoch
+    gets a different but fully REPRODUCIBLE ordering, keyed on content —
+    ``md5(epoch|key)`` — so a resumed/retried job emits the identical
+    sequence and no random state is ever stored.
+
+    No global sort barrier: rows get a ``bucket_col`` from the hash PREFIX
+    (bucket b covers hash range [b/N, (b+1)/N) — bucket ranges are
+    disjoint and ordered by construction) and only sort within tasks.
+    The emission contract is ``write.partitionBy(bucket_col)`` then read
+    buckets in numeric order: that concatenation IS the global
+    permutation, at shuffle-map cost.  ``output_col`` carries the hash so
+    checkpointing can seek ("resume after hash H")."""
+    h = _hex8(F.col(key_col), epoch)
+    if n_buckets is None:
+        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = int(n_buckets)
+    bucket = (
+        F.conv(h, 16, 10).cast("bigint") * n / F.lit(float(_SPACE))
+    ).cast("int")
+    return (
+        df.withColumn(output_col, h)
+        .withColumn(bucket_col, F.least(bucket, F.lit(n - 1)))
+        .repartition(n, bucket_col)
+        .sortWithinPartitions(bucket_col, output_col, F.col(key_col).cast("string"))
+    )

