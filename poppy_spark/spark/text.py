@@ -375,3 +375,36 @@ def doc_fingerprint(df: DataFrame, text_col: str, output_col: str = "fingerprint
         lambda acc, w: acc.bitwiseXOR(F.xxhash64(w)),
     )
     return df.withColumn(output_col, fp)
+
+
+def url_parts(df: DataFrame, url_col: str) -> DataFrame:
+    """Append ``url_host / url_domain / url_path`` parsed from a URL column
+    — pure JVM ``parse_url`` expressions (codegen, no shuffle).
+    ``url_domain`` is the last-two-labels approximation of the registered
+    domain (a full public-suffix list is a data file, not an algorithm;
+    plug one via a join when available)."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    return (
+        df.withColumn("url_host", host)
+        .withColumn("url_domain", domain)
+        .withColumn("url_path", F.parse_url(F.col(url_col), F.lit("PATH")))
+    )
+
+
+def cap_per_domain(
+    df: DataFrame, url_col: str, key_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Web-corpus domain capping: keep at most ``k`` deterministic
+    content-hash-sampled rows per registered domain (the C4/RefinedWeb
+    anti-SEO-farm pass) — :func:`url_parts` + the grouped bottom-k
+    sampler, so one group-keyed shuffle total."""
+    from poppy_spark.spark.sampling import grouped_bottom_k
+
+    parts = url_parts(df, url_col)
+    return grouped_bottom_k(parts, key_col, "url_domain", k, seed=seed)

@@ -861,3 +861,39 @@ class TestLineDedupSkew:
                 # (id, pos) argmin struct only — no text column
                 child = lines[i + 1] if i + 1 < len(lines) else ""
                 assert "__line" not in child and "__text" not in child, plan
+
+
+class TestUrlOps:
+    def test_url_parts(self, spark):
+        from poppy_spark.spark.text import url_parts
+
+        rows = [
+            (1, "https://news.example.co/a/b?q=1"),
+            (2, "http://sub.deep.example.co/x"),
+            (3, "https://localhost/y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["doc_id"]: r for r in url_parts(df, "url").collect()}
+        assert got[1]["url_host"] == "news.example.co"
+        assert got[1]["url_domain"] == "example.co"
+        assert got[1]["url_path"] == "/a/b"
+        assert got[2]["url_domain"] == "example.co"
+        assert got[3]["url_domain"] == "localhost"
+
+    def test_cap_per_domain(self, spark):
+        from pyspark.sql import functions as F
+
+        from poppy_spark.spark.text import cap_per_domain
+
+        rows = [(i, f"https://farm.example.com/p{i}") for i in range(100)]
+        rows += [(1000 + i, f"https://site{i}.org/") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = cap_per_domain(df, "url", "doc_id", 5, seed=3)
+        by_dom = {r["url_domain"]: r["n"] for r in out.groupBy("url_domain").agg(F.count("*").alias("n")).collect()}
+        assert by_dom["example.com"] == 5  # the SEO farm capped
+        assert sum(v for d, v in by_dom.items() if d != "example.com") == 10
+        # deterministic across layouts
+        again = cap_per_domain(df.repartition(7), "url", "doc_id", 5, seed=3)
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
