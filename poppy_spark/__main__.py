@@ -98,8 +98,6 @@ def _create_spark(args) -> int:
     if args.shards > 1 and (args.version != 2 or args.opt != 0):
         print("--shards requires v2 with OptLevel NONE", file=sys.stderr)
         return 2
-    from pyspark.sql import SparkSession
-
     from poppy_spark.spark.session import get_spark
 
     # only stop the session on exit if WE created it — getOrCreate may hand
@@ -158,8 +156,6 @@ def cmd_show(args) -> int:
 
     if _os.path.isdir(args.filter) and _os.path.isdir(_os.path.join(args.filter, "shards")):
         # a ShardedBloom.save() directory: show shard layout via Spark
-        from pyspark.sql import SparkSession
-
         from poppy_spark.spark.session import get_spark
         from poppy_spark.spark.sharded import ShardedBloom
 
@@ -243,8 +239,6 @@ def _get_session(jobs: int):
     (tests, notebooks) is REUSED and must not be stopped — only a session
     this command created gets stopped on exit (same ownership contract as
     ``_create_spark``)."""
-    from pyspark.sql import SparkSession
-
     from poppy_spark.spark.session import get_spark
 
     owned = not _session_exists()
