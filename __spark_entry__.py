@@ -1533,7 +1533,12 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     books = pq_train_codebooks(emb, "vec_id", "embedding", 16, 64, iters=5)
     codes = pq_encode(emb, "vec_id", "embedding", books).persist()
-    q = emb.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    # deterministic query set: an unordered limit(20) is NOT stable across
+    # the several independent jobs below (pq/exact/ivfpq each re-evaluate
+    # the plan), so the recall gates could compare mismatched query sets
+    q = emb.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
     approx = pq_topk(codes, q, "embedding", "qid", 20, books).collect()
     exact = cosine_topk(emb, q, "vec_id", "embedding", "qid", k=10).collect()
     codes.unpersist()
@@ -1698,9 +1703,12 @@ def q_model_plug_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = {1: "en", 2: "fr", 3: "de", 4: "es"}
     rows.append(("nb_planted_langid", 4, plug == heur == want))
 
-    texts = [r["text"] for r in docs.select("text").limit(50).collect()]
+    # deterministic subset: unordered limit() is not stable across the two
+    # independent jobs below (Arrow-seam count vs driver tokenize)
+    sub = docs.orderBy("doc_id").limit(50).persist()
+    texts = [r["text"] for r in sub.select("text").collect()]
     tok = BpeTokenizer(train_bpe(texts, n_merges=200))
-    sub = docs.limit(50).repartition(4)
+    sub = sub.repartition(4)
     got = {
         r["doc_id"]: r["n_bpe"]
         for r in model_token_count(sub, "text", tok, "n_bpe").collect()
@@ -1891,8 +1899,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 46 entries — every operator fits the driver's 50-row correctness
-    # window (round-3 verdict #1).  Never-driver-verified flagships lead;
+    # EXACTLY 50 entries — the driver's correctness window is full (round-3
+    # verdict #1): adding a new row requires folding an existing one into a
+    # composite first.  Never-driver-verified flagships lead;
     # single-boolean smoke rows are folded into the *_suite / *_guards /
     # text_stats / hll_users / quantile_sketches composites (the underlying
     # single-operator callables remain importable + pytest-gated).

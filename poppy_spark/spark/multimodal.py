@@ -202,7 +202,9 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     ``audio_ms`` (duration), ``audio_rms`` (energy), ``audio_zcr``
     (zero-crossing rate, a cheap voiced/unvoiced + noisiness signal),
     ``audio_peak``.  Same bounded-batch Arrow shape as the image stage;
-    NULL media rows pass through with NULL features."""
+    NULL media rows AND non-audio rows (anything whose bytes lack the
+    RIFF/WAVE magic — e.g. the image rows of a mixed media table) pass
+    through with NULL features instead of failing the whole job."""
     import pyspark.sql.types as T
 
     out_schema = T.StructType(
@@ -219,7 +221,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             ms, rms, zcr, peak = [], [], [], []
             for buf in pdf["media"]:
-                if buf is None:
+                if buf is None or bytes(buf[:4]) != b"RIFF":
                     ms.append(None); rms.append(None); zcr.append(None); peak.append(None)
                     continue
                 x, rate = decode_wav(bytes(buf))

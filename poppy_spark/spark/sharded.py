@@ -1123,6 +1123,11 @@ class GroupedShardedBloom:
             "n_shards": self.params.n_shards,
             "bps": self.params.bps,
             "group_col": self.group_col,
+            # partition-column values round-trip through directory names;
+            # record the true dataType so load() can undo Spark's partition
+            # type inference (string groups that look numeric come back int
+            # otherwise, breaking union/probe against freshly built states)
+            "group_type": self.states.schema[self.group_col].dataType.json(),
         }
         spark = self.states.sparkSession
         spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
@@ -1137,7 +1142,24 @@ class GroupedShardedBloom:
             m["capacity"], m["fpp"], m["n_buckets"], m["n_hash_buck"],
             m["n_shards"], m["bps"],
         )
-        states = spark.read.parquet(os.path.join(directory, "shards"))
+        # read the partition column as string (inference off), then cast to
+        # the saved dataType: "0123"-style string groups keep their exact
+        # bytes and numeric groups come back with their original type, so
+        # loaded filters union/probe against freshly built states unchanged
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            states = spark.read.parquet(os.path.join(directory, "shards"))
+        finally:
+            spark.conf.set(conf_key, prev)
+        if "group_type" in m and m["group_type"]:
+            from pyspark.sql.types import _parse_datatype_json_string
+
+            gt = _parse_datatype_json_string(m["group_type"])
+            states = states.withColumn(
+                m["group_col"], F.col(m["group_col"]).cast(gt)
+            )
         return cls(p, m["group_col"], states)
 
     def reassemble_group(self, group_value) -> bytes:

@@ -95,8 +95,12 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id"), F.col("vec_n").alias("v")
     )
     if method == "exact":
+        # the guard count is an eager job over the normalization pass;
+        # persist so the cross join below reuses it instead of recomputing
+        c = c.persist()
         n = c.count()
         if n > max_rows:
+            c.unpersist()
             raise ValueError(
                 f"cosine_near_dup_pairs(method='exact') on {n} rows exceeds "
                 f"max_rows={max_rows} (an n^2/2 cross join); use "
@@ -230,6 +234,7 @@ def ivf_topk(
     seed: int = 0,
     centroids: np.ndarray | None = None,
     max_cell_size: int | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the k-means-bucketed scale
     path beside :func:`lsh_topk`: each corpus vector lands in ONE cell
@@ -257,6 +262,12 @@ def ivf_topk(
     inside degenerate cells, where the survivors are near-interchangeable
     anyway.  Use :func:`ivf_cell_stats` to inspect the actual cell-size
     distribution before choosing a cap.
+
+    Query side: up to ``max_queries`` query vectors join as an explicit
+    broadcast (~``n_probe * dim * 8`` bytes each — executor-memory
+    bounded); above that the candidate join auto-degrades to a plain
+    shuffle equi-join on the cell id (both sides exchange; a skewed probe
+    distribution then leans on AQE skew-join, so cap hot cells too).
     """
     if centroids is None:
         centroids = ivf_train_centroids(
@@ -288,7 +299,12 @@ def ivf_topk(
     # (query_id, id) pairs are unique by construction — one cell per corpus
     # vector, distinct probe cells per query — so no dedup shuffle is needed
     # (unlike lsh_topk, where multi-table membership duplicates pairs)
-    cands = c_cells.join(F.broadcast(q_cells), "cell").select(
+    # broadcast-vs-shuffle pick: the limit()-bounded probe count costs one
+    # tiny job and keeps the broadcast guarded (guard convention: max_rows /
+    # max_groups / _cap_buckets elsewhere in this family)
+    n_q = q.limit(max_queries + 1).count()
+    q_side = F.broadcast(q_cells) if n_q <= max_queries else q_cells
+    cands = c_cells.join(q_side, "cell").select(
         "query_id", "id", "cv", "qv"
     )
     scored = cands.select(
@@ -333,7 +349,15 @@ def _thin_hot_cells(c_cells: DataFrame, max_cell_size: int) -> DataFrame:
     codegen filter ``hash_frac(cell|id) < keep_frac`` drops the excess —
     no shuffle of corpus rows, layout/retry-stable (content-hashed, like
     ``sampling.hash_sample``).  Cells at or under the cap pass through
-    untouched."""
+    untouched.
+
+    The size collect is an eager job over the cell-assignment pass, so
+    ``c_cells`` is persisted first — the caller's action reuses the cached
+    assignment instead of re-running the matmul UDF (the most expensive
+    stage) a second time.  The cache is left for Spark's LRU eviction:
+    the returned plan still reads it, so there is no safe unpersist point
+    before the caller's action."""
+    c_cells = c_cells.persist()
     sizes = {
         r["cell"]: r["n"]
         for r in c_cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
@@ -474,8 +498,12 @@ def pq_train_codebooks(
         sub = x[:, m * dsub : (m + 1) * dsub]
         cents = sub[:n_codes].copy()  # hash-ordered sample -> deterministic init
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
+            # argmin ||s-c||^2 == argmax s.c - ||c||^2/2 (the pq_encode
+            # identity): one (n_sample, n_codes) matmul per iteration, never
+            # the (n_sample, n_codes, dsub) broadcast temp — which at 768-dim
+            # defaults is ~1.6 GB of float64 per subspace per iteration
+            scores = sub @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
             for c in range(n_codes):
                 members = sub[assign == c]
                 if members.size:
@@ -527,6 +555,7 @@ def pq_topk(
     query_id_col: str,
     k: int,
     codebooks: np.ndarray,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
     ``(m, n_codes)`` lookup table of subspace dot products ONCE, every
@@ -534,16 +563,30 @@ def pq_topk(
     dot product, and each Arrow batch emits only its local top-k per query
     before the global window — output is bounded by batches x queries x k,
     never |corpus| x |queries|.  Queries + LUTs travel as one broadcast
-    (~``8 * m * n_codes`` bytes per query)."""
+    (~``8 * m * n_codes`` bytes per query).
+
+    The query batch is driver-materialized (LUTs are built driver-side),
+    so it HARD-FAILS above ``max_queries`` rows — checked with a
+    limit()-bounded count BEFORE the collect, so an oversized batch never
+    reaches driver memory.  For larger batches, loop over query chunks
+    and union the results (each chunk reuses the same ``codes`` index),
+    or raise ``max_queries`` deliberately."""
     import pandas as pd
 
     spark = codes.sparkSession
-    qrows = (
+    qdf = (
         with_normalized(queries, vec_col)
         .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
         .filter(F.col("qv").isNotNull())
-        .collect()
     )
+    n_q = qdf.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"pq_topk query batch exceeds max_queries={max_queries} (LUTs are "
+            "driver-built); chunk the query batch and union results, or raise "
+            "max_queries deliberately"
+        )
+    qrows = qdf.collect()
     m, n_codes, dsub = codebooks.shape
     luts, qids = [], []
     for r in qrows:
@@ -603,6 +646,7 @@ def ivfpq_topk(
     n_codes: int = 64,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition (FAISS IVFPQ shape) — IVF
     cells prune WHICH vectors are scored, PQ codes decide HOW cheaply:
@@ -641,13 +685,22 @@ def ivfpq_topk(
         c_cells.select("id", "cell"), "id"
     )
 
-    # query side: probe cells + an ADC lookup table per query
-    qrows = (
+    # query side: probe cells + an ADC lookup table per query — driver-built,
+    # so guarded by a limit()-bounded pre-count like pq_topk (chunk + union
+    # for larger batches; the corpus-side index is reused across chunks)
+    qdf = (
         with_normalized(queries, vec_col)
         .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
         .filter(F.col("qv").isNotNull())
-        .collect()
     )
+    n_q = qdf.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"ivfpq_topk query batch exceeds max_queries={max_queries} (probe "
+            "sets + LUTs are driver-built); chunk the query batch and union "
+            "results, or raise max_queries deliberately"
+        )
+    qrows = qdf.collect()
     m, n_codes_b, dsub = codebooks.shape
     cent_t = centroids.T
     luts, qids, probe_cells = [], [], []

@@ -1,0 +1,162 @@
+"""Round-5 regression tests: ANN query-side guards, grouped-sharded
+save/load partition-type round-trip, mixed-media audio pass-through."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestAnnQueryGuards:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).cache()
+
+    def test_pq_topk_max_queries_raises_before_collect(self, emb):
+        from poppy_spark.spark.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train_codebooks,
+        )
+
+        books = pq_train_codebooks(emb, "vec_id", "embedding", 4, 16, iters=2)
+        codes = pq_encode(emb, "vec_id", "embedding", books)
+        q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="max_queries"):
+            pq_topk(codes, q, "embedding", "qid", 5, books, max_queries=3)
+
+    def test_ivfpq_topk_max_queries_raises(self, emb):
+        from poppy_spark.spark.similarity import ivfpq_topk
+
+        q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+        with pytest.raises(ValueError, match="max_queries"):
+            ivfpq_topk(
+                emb, q, "vec_id", "embedding", "qid", k=3,
+                n_centroids=4, n_probe=2, m_subspaces=4, n_codes=16,
+                max_queries=3,
+            )
+
+    def test_ivf_topk_shuffle_path_matches_broadcast(self, emb):
+        """Above max_queries ivf_topk degrades to a shuffle equi-join —
+        same rows as the broadcast path, no raise."""
+        from poppy_spark.spark.similarity import ivf_topk
+
+        q = emb.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        kw = dict(k=5, n_centroids=8, n_probe=8, iters=2)
+        bc = ivf_topk(emb, q, "vec_id", "embedding", "qid", **kw).collect()
+        sh = ivf_topk(
+            emb, q, "vec_id", "embedding", "qid", max_queries=2, **kw
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted((r["query_id"], r["rank"], r["id"]) for r in bc) == sorted(
+            (r["query_id"], r["rank"], r["id"]) for r in sh
+        )
+
+    def test_pq_kmeans_matmul_identity_unchanged(self, emb):
+        """The matmul-identity k-means (ADVICE r4) must produce codebooks
+        equal to the definitional squared-distance iteration."""
+        from poppy_spark.spark.similarity import pq_train_codebooks, with_normalized
+
+        books = pq_train_codebooks(emb, "vec_id", "embedding", 4, 16, iters=3,
+                                   sample_per_code=8)
+        # reproduce driver-side with the naive broadcast form
+        h = F.substring(
+            F.md5(F.concat(F.lit("pq0|"), F.col("vec_id").cast("string"))), 1, 16
+        )
+        rows = (
+            with_normalized(emb, "embedding")
+            .select(F.col("vec_n"), h.alias("__h"))
+            .orderBy("__h")
+            .limit(16 * 8)
+            .collect()
+        )
+        x = np.asarray([r["vec_n"] for r in rows], dtype=np.float64)
+        dsub = x.shape[1] // 4
+        for m in range(4):
+            sub = x[:, m * dsub:(m + 1) * dsub]
+            cents = sub[:16].copy()
+            for _ in range(3):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(16):
+                    mem = sub[assign == c]
+                    if mem.size:
+                        cents[c] = mem.mean(axis=0)
+            assert np.allclose(books[m], cents)
+
+
+class TestGroupedShardedPartitionTypes:
+    def test_numeric_looking_string_groups_roundtrip(self, spark, tmp_path):
+        """Partition-column type inference must not turn string groups that
+        look numeric into ints on load (ADVICE r4): loaded filters must
+        union/probe against freshly built states."""
+        from poppy_spark.spark.sharded import (
+            GroupedShardedBloom,
+            build_sharded_bloom_grouped,
+        )
+
+        rows = [(f"k{i}", g) for i in range(200) for g in ("0123", "77", "west")]
+        df = spark.createDataFrame(rows, "key string, grp string")
+        gsb = build_sharded_bloom_grouped(
+            df, "key", "grp", capacity=1_000, fpp=0.001, n_shards=2
+        )
+        d = str(tmp_path / "gsb_types")
+        gsb.save(d)
+        back = GroupedShardedBloom.load(spark, d)
+        assert back.states.schema["grp"].dataType.simpleString() == "string"
+        got = {r["grp"] for r in back.states.select("grp").distinct().collect()}
+        assert got == {"0123", "77", "west"}  # leading zero preserved
+        # probe parity vs the freshly built filter
+        probed = back.contains(df.select("grp", "key"), "key")
+        assert probed.filter(~F.col("hit")).count() == 0
+        # and set algebra against the fresh build still works group-wise
+        merged = back.union(gsb)
+        assert merged.states.count() == gsb.states.count()
+
+    def test_long_groups_restore_type(self, spark, tmp_path):
+        from poppy_spark.spark.sharded import (
+            GroupedShardedBloom,
+            build_sharded_bloom_grouped,
+        )
+
+        rows = [(f"k{i}", i % 3) for i in range(150)]
+        df = spark.createDataFrame(rows, "key string, grp long")
+        gsb = build_sharded_bloom_grouped(
+            df, "key", "grp", capacity=1_000, fpp=0.001, n_shards=2
+        )
+        d = str(tmp_path / "gsb_long")
+        gsb.save(d)
+        back = GroupedShardedBloom.load(spark, d)
+        assert back.states.schema["grp"].dataType.simpleString() == "bigint"
+        probed = back.contains(df.select("grp", "key"), "key")
+        assert probed.filter(~F.col("hit")).count() == 0
+
+
+class TestMixedMediaAudio:
+    def test_non_audio_rows_pass_through_null(self, spark):
+        """extract_audio_features on a mixed media table: image/garbage
+        rows emit NULL features instead of failing the job (ADVICE r4)."""
+        from poppy_spark.spark.multimodal import (
+            encode_bmp,
+            encode_wav,
+            extract_audio_features,
+        )
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        tone = (np.sin(np.linspace(0, 2 * np.pi * 440, 8000)) * 0.5)
+        rows = [
+            (1, "image", bytearray(encode_bmp(px))),
+            (2, "audio", bytearray(encode_wav(tone.astype(np.float64), 8000))),
+            (3, "video", None),
+            (4, "audio", bytearray(b"\x00\x01garbage-not-riff")),
+        ]
+        df = spark.createDataFrame(rows, "id long, media_type string, media binary")
+        got = {r["id"]: r for r in extract_audio_features(df).collect()}
+        assert got[1]["audio_ms"] is None and got[1]["audio_rms"] is None
+        assert got[3]["audio_ms"] is None
+        assert got[4]["audio_ms"] is None  # bad magic -> NULL, not a crash
+        assert got[2]["audio_ms"] == 1000
+        assert got[2]["audio_rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)
