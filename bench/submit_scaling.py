@@ -66,6 +66,36 @@ def submit(cores: int, zip_path: str, data: str) -> dict:
     )
 
 
+def submit_steal_gated(cores: int, zip_path: str, data: str, retries: int = 2) -> dict:
+    """One steal-gated sample: probe /proc/stat steal BEFORE submitting
+    (30 s default), measure steal DURING the run, and re-sample when
+    either exceeds the ~2% contamination threshold — the round-4 manual
+    forensics protocol (BENCH/BASELINE.md) made automatic."""
+    import bench as _bench  # repo-root bench.py (shadows this directory)
+
+    probe_sec = float(os.environ.get("POPPY_STEAL_PROBE_SEC", "30"))
+    last = None
+    for attempt in range(retries + 1):
+        probe = _bench.steal_probe(probe_sec)
+        start = _bench._read_steal()
+        r = submit(cores, zip_path, data)
+        end = _bench._read_steal()
+        r["steal"] = probe or {}
+        if start and end:
+            dt = max(1, end[1] - start[1])
+            r["steal"]["run_steal_jiffies"] = end[0] - start[0]
+            r["steal"]["run_steal_frac"] = round((end[0] - start[0]) / dt, 5)
+        frac = max(
+            r["steal"].get("probe_steal_frac", 0.0),
+            r["steal"].get("run_steal_frac", 0.0),
+        )
+        r["steal"]["contaminated"] = bool(frac > 0.02)
+        last = r
+        if not r["steal"]["contaminated"]:
+            return r
+    return last
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         # load the sibling generator by path: the repo-root bench.py module
@@ -83,7 +113,7 @@ def main() -> None:
         data = os.environ.get("POPPY_SCALE_DATA", "/tmp/poppy_scaling_transcripts")
 
     zip_path = make_zip()
-    runs = {c: submit(c, zip_path, data) for c in PAIR}
+    runs = {c: submit_steal_gated(c, zip_path, data) for c in PAIR}
     lo, hi = PAIR
     effs = {
         job: round((runs[lo][f"{job}_sec"] / runs[hi][f"{job}_sec"]) / (hi / lo), 3)
@@ -106,10 +136,17 @@ def main() -> None:
             f"| {c} | {r['sharded_sec']} | {r['hll_sec']} "
             f"| {r['sharded_M_turns_per_sec']} | {r['hll_M_turns_per_sec']} |"
         )
+    steal_note = "; ".join(
+        f"local[{c}] steal probe {runs[c].get('steal', {}).get('probe_steal_frac', 'n/a')}"
+        f" / run {runs[c].get('steal', {}).get('run_steal_frac', 'n/a')}"
+        f" ({'CONTAMINATED' if runs[c].get('steal', {}).get('contaminated') else 'clean'})"
+        for c in PAIR
+    )
     lines += [
         "",
         f"Scaling efficiency {lo}->{hi}: sharded {effs['sharded']}, hll {effs['hll']} "
         "(= (T_low/T_high)/(high/low), target >= 0.8 per the north rule).",
+        f"Steal gate (auto): {steal_note}.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")

@@ -272,27 +272,79 @@ def grouped_bottom_k(
     seed: int = 0,
 ) -> DataFrame:
     """Deterministic bottom-k sample PER GROUP: for every group value, the
-    k rows with the smallest ``md5(seed|key)`` survive — the "inspect k
-    documents per domain" verb, content-determined like everything in
-    this module (stable across retries, layouts, cluster sizes; rows
-    sharing a key sample together ACROSS groups).
+    rows carrying the k smallest distinct keys by ``md5(seed|key)``
+    survive — the "inspect k documents per domain" verb, content-
+    determined like everything in this module (stable across retries,
+    layouts, cluster sizes; rows sharing a key sample together, both
+    across and within groups).  Rows with a NULL key carry no sampling
+    hash and are excluded.
 
-    Shape: one shuffle keyed by the group + a rank window — per-task
-    memory is one partition's rows, and groups are processed
-    independently, so a million groups cost no more than ten.  ANSI
-    replica: ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
-    md5(...), key) <= k``."""
+    Two-phase shape, so a hot group NEVER funnels through one task (the
+    round-4 finding: a ``Window.partitionBy(group)`` sends an SEO farm's
+    10^8 pages into a single partition before rank-filtering to k):
+
+    1. **Map-side pre-thin** (narrow, zero shuffle): each input partition
+       keeps its k smallest ``(hash, key)`` per group via one Arrow-batched
+       pandas sort — any key among a group's global bottom-k is necessarily
+       in the bottom-k of its own batch, so no survivor can be lost.
+    2. **Tiny global agg**: ``collect_set`` of the surviving (hash, key)
+       structs per group (map-side combined; <= k x n_partitions structs
+       per group even for the hottest group), sorted + sliced to the
+       final k smallest distinct keys.
+    3. **Join-back**: an equi-join of ``df`` against the survivor keys on
+       (group, key) — hash-distributed by KEY, so the hot group's rows
+       spread across all tasks; AQE broadcasts the survivor side when
+       small.
+
+    Only hashes and keys ride phases 1-2; full rows move once, in the
+    skew-free phase-3 exchange.  ANSI replica (keys unique per group, the
+    normal corpus case): ``QUALIFY row_number() OVER (PARTITION BY g
+    ORDER BY md5(...), key) <= k``."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from pyspark.sql.window import Window
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    import pyspark.sql.types as T
 
     h = _hex8(F.col(key_col), seed)
-    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col).cast("string"))
-    return (
-        df.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank")
+    ks = F.col(key_col).cast("string")
+    tup = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(key_col).alias("__k"),
+        ks.alias("__ks"),
+        h.alias("__h"),
+    ).filter(F.col("__h").isNotNull())
+
+    def thin(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.drop_duplicates(["__g", "__ks"])
+            # md5-hex + the key's string form sort bytewise identically in
+            # pandas and in Spark (ASCII hex / code-point order)
+            pdf = pdf.sort_values(["__h", "__ks"], kind="stable")
+            yield pdf.groupby("__g", sort=False, dropna=False).head(k)
+
+    thinned = tup.mapInPandas(thin, tup.schema)
+    survivors = (
+        thinned.groupBy("__g")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.struct(F.col("__h"), F.col("__ks"), F.col("__k")))
+                ),
+                1,
+                k,
+            ).alias("__w")
+        )
+        .select("__g", F.explode("__w").alias("__s"))
+        .select("__g", F.col("__s.__k").alias("__k"))
     )
+    joined = df.join(
+        survivors,
+        F.col(group_col).eqNullSafe(F.col("__g")) & (F.col(key_col) == F.col("__k")),
+        "inner",
+    )
+    return joined.select(*[F.col(c) for c in df.columns])
 
 
 def epoch_shuffle(

@@ -88,6 +88,72 @@ class TestAnnQueryGuards:
             assert np.allclose(books[m], cents)
 
 
+class TestGroupedBottomKTwoPhase:
+    def test_hot_group_matches_bruteforce(self, spark):
+        """Planted SEO-farm shape: one domain holds 95% of rows.  The
+        two-phase plan must return exactly the brute-force bottom-k and
+        stay layout-invariant."""
+        import hashlib
+
+        from poppy_spark.spark.sampling import grouped_bottom_k
+
+        rows = [(i, "farm") for i in range(4000)]
+        rows += [(100_000 + i, f"site{i % 40}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        out = grouped_bottom_k(df, "doc_id", "dom", 7, seed=5)
+        got = {(r["dom"], r["doc_id"]) for r in out.collect()}
+        bygroup = {}
+        for i, g in rows:
+            bygroup.setdefault(g, []).append(i)
+        want = set()
+        for g, ids in bygroup.items():
+            ranked = sorted(
+                ids,
+                key=lambda i: (
+                    hashlib.md5(f"seed5|{i}".encode()).hexdigest()[:8],
+                    str(i),
+                ),
+            )
+            want.update((g, i) for i in ranked[:7])
+        assert got == want
+        again = grouped_bottom_k(df.repartition(17), "doc_id", "dom", 7, seed=5)
+        assert {(r["dom"], r["doc_id"]) for r in again.collect()} == want
+
+    def test_duplicate_keys_sample_together(self, spark):
+        """Key-based semantics: every row carrying a surviving key is kept
+        (rows sharing a key sample together within a group too)."""
+        from poppy_spark.spark.sampling import grouped_bottom_k
+
+        rows = [(f"k{i % 10}", "g", i) for i in range(50)]  # 10 keys x 5 rows
+        df = spark.createDataFrame(rows, "key string, grp string, payload long")
+        out = grouped_bottom_k(df, "key", "grp", 3, seed=1).collect()
+        keys = {r["key"] for r in out}
+        assert len(keys) == 3
+        assert len(out) == 15  # all 5 rows of each surviving key
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["key"], set()).add(r["payload"])
+        assert all(len(v) == 5 for v in by_key.values())
+
+    def test_null_keys_excluded_null_group_kept(self, spark):
+        from poppy_spark.spark.sampling import grouped_bottom_k
+
+        rows = [("a", "g1"), (None, "g1"), ("b", None), ("c", None)]
+        df = spark.createDataFrame(rows, "key string, grp string")
+        out = grouped_bottom_k(df, "key", "grp", 5, seed=0).collect()
+        got = {(r["key"], r["grp"]) for r in out}
+        assert got == {("a", "g1"), ("b", None), ("c", None)}
+
+    def test_no_single_task_window_in_plan(self, spark):
+        """The plan must not contain a Window over the group column (the
+        one-task-per-group funnel the two-phase shape removes)."""
+        from poppy_spark.spark.sampling import grouped_bottom_k
+
+        df = spark.createDataFrame([(1, "g")], "doc_id long, dom string")
+        plan = grouped_bottom_k(df, "doc_id", "dom", 3)._jdf.queryExecution().toString()
+        assert "Window" not in plan
+
+
 class TestGroupedShardedPartitionTypes:
     def test_numeric_looking_string_groups_roundtrip(self, spark, tmp_path):
         """Partition-column type inference must not turn string groups that
