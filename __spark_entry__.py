@@ -1573,6 +1573,34 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     own = sum(1 for r in approx if r["id"] == r["query_id"])
     ok = hits / (10 * len(qids)) >= 0.6 and own >= 0.9 * len(qids)
     rows.append(("ivfpq", len(qids), bool(ok)))
+
+    # folded former cosine_top1 row: exact brute-force nearest neighbor
+    # (excluding self, min-id over the non-self top-2) for the first 10
+    # vectors, re-derived independently with driver numpy
+    import numpy as np
+
+    q10 = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top = cosine_topk(emb, q10, "vec_id", "embedding", "qid", k=2).collect()
+    spark_nn = {}
+    for r in top:
+        if r["id"] != r["query_id"]:
+            spark_nn[r["query_id"]] = min(
+                spark_nn.get(r["query_id"], r["id"]), r["id"]
+            )
+    vecs = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in vecs]
+    mat = np.asarray([r["embedding"] for r in vecs], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_id = {v: i for i, v in enumerate(ids)}
+    ok = True
+    for qid in range(10):
+        cos = mat @ mat[by_id[qid]]
+        top2 = sorted(range(len(ids)), key=lambda j: (-cos[j], ids[j]))[:2]
+        ref = min(ids[j] for j in top2 if ids[j] != qid)
+        ok = ok and spark_nn.get(qid) == ref
+    rows.append(("exact_top1", 10, bool(ok)))
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -1645,6 +1673,12 @@ def q_dedup_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(
         ("hot_bucket", r["n_docs"], bool(r["hot_pairs_bounded"]) and r["n_missed"] == 0)
     )
+    # folded former lsh_dedup_recall / simhash_duplicates rows (round-5
+    # window discipline: new verbs displace single-boolean smoke rows)
+    r = q_lsh_dedup_recall(spark, sf_dir).collect()[0]
+    rows.append(("lsh_dup_recall", r["n_docs"], r["n_missed"] == 0))
+    r = q_simhash_duplicates(spark, sf_dir).collect()[0]
+    rows.append(("simhash_h0", r["n_docs"], r["n_hamming0"] == r["n_docs"]))
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -1873,6 +1907,92 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(docs, "text", "doc_id", span_words=8, min_docs=2)
 
 
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: repeated-span REMOVAL (the Lee et al. rebuild half) — the
+    same planted boilerplate as `repeated_spans`, excised everywhere but
+    its first occurrence; DuckDB rebuilds every document byte-exactly
+    (lowercased word-space, the detection's token space)."""
+    from poppy_spark.spark.spans import remove_repeated_spans
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" all rights reserved contact the site administrator today")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_repeated_spans(docs, "text", "doc_id", span_words=8, min_docs=2)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: SemDeDup-shaped semantic dedup — k-means-cell-bounded
+    cosine pairs + transitive components as ONE verb.  Planted paraphrase
+    groups (exact scaled copies of the first 10 vectors, cosine exactly 1
+    after normalization, always co-celled) must each come out as one
+    component, distinct from each other; gates + exact planted counts."""
+    from poppy_spark.spark.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = [
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100_000 * j).alias("vec_id"),
+            F.transform("embedding", lambda x: x * float(2 ** j))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        for j in (1, 2)
+    ]
+    allv = emb.unionAll(copies[0]).unionAll(copies[1])
+    out = semantic_dedup(
+        allv, "vec_id", "embedding", threshold=0.999, n_centroids=8, iters=3
+    )
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    groups_ok = all(
+        comp.get(i) is not None
+        and comp.get(i) == comp.get(100_000 + i) == comp.get(200_000 + i)
+        for i in range(10)
+    )
+    distinct_ok = len({comp.get(i) for i in range(10)}) == 10
+    n_planted = sum(
+        1 for i in comp if i < 10 or (100_000 <= i < 100_010) or (200_000 <= i < 200_010)
+    )
+    rows = [
+        ("planted_groups", 10, bool(groups_ok)),
+        ("planted_ids_clustered", n_planted, n_planted == 30),
+        ("groups_distinct", 10, bool(distinct_ok)),
+    ]
+    return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
+
+
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: per-domain capping over the reworked two-phase
+    grouped_bottom_k — a planted SEO farm holds 95% of rows and must cap
+    to exactly k content-hash-chosen survivors.  TRUE-value oracle:
+    DuckDB replays the identical URL construction, host/domain parsing,
+    and QUALIFY bottom-k (keys are unique, where the key-based and
+    row-based semantics coincide)."""
+    from poppy_spark.spark.text import cap_per_domain
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 != 0,
+            F.concat(F.lit("https://farm.example.com/p/"), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("https://site"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                F.lit(".org/p/"), F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+    )
+    return cap_per_domain(urls, "url", "doc_id", 10, seed=4).select(
+        "doc_id", "url_domain"
+    )
+
+
 def q_proportional_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: deterministic domain re-mixing to target language
     proportions — the scarcest weighted language (relative to its weight)
@@ -1932,10 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_components": q_duplicate_components,
         "conversation_dedup": q_conversation_dedup,
         "line_dedup": q_line_dedup,
-        "lsh_dedup_recall": q_lsh_dedup_recall,
-        "simhash_duplicates": q_simhash_duplicates,
+        "semantic_dedup": q_semantic_dedup,
         # similarity family
-        "cosine_top1": q_cosine_top1,
         "ann_recall_suite": q_ann_recall_suite,
         # text family
         "model_plug_suite": q_model_plug_suite,
@@ -1958,6 +2076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions
         "bigram_lm_scores": q_bigram_lm_scores,
         "repeated_spans": q_repeated_spans,
+        "remove_spans": q_remove_spans,
+        "cap_per_domain": q_cap_per_domain,
         "proportional_mix": q_proportional_mix,
         "multimodal_codecs": q_multimodal_codecs,
         # pipeline operators
@@ -2083,18 +2203,10 @@ SELECT doc_id,
             WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es) THEN 'en'
             ELSE 'de' END AS lang_guess
 FROM s""",
-        "lsh_dedup_recall": (
-            "SELECT COUNT(*) AS n_docs, 0 AS n_missed FROM documents"
-        ),
-        "simhash_duplicates": (
-            "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_hamming0 FROM documents"
-        ),
-        "cosine_top1": (
-            "SELECT a.vec_id AS query_id, "
-            "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id != a.vec_id "
-            " ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id ASC "
-            " LIMIT 1) AS nn_id "
-            "FROM embeddings a WHERE a.vec_id < 10"
+        "semantic_dedup": (
+            "SELECT 'planted_groups' AS chk, 10 AS n, TRUE AS ok "
+            "UNION ALL SELECT 'planted_ids_clustered', 30, TRUE "
+            "UNION ALL SELECT 'groups_distinct', 10, TRUE"
         ),
         "bloom_grouped_membership": (
             "SELECT o_orderpriority, COUNT(*) AS n_keys, 0 AS n_missed "
@@ -2177,6 +2289,66 @@ WITH planted AS (
 )
 SELECT key AS span_hash, n_docs, n_occurrences,
        fst.i AS first_id, fst.p AS first_pos FROM agg""",
+        # removal half: same planted spans; every non-first occurrence's
+        # covered word range is excised and the doc rebuilt word-by-word
+        "remove_spans": r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 4 = 0
+      THEN ' all rights reserved contact the site administrator today' ELSE '' END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM planted
+), spans AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         md5(array_to_string(words[i:i+7], ' ')) AS key
+  FROM w, unnest(generate_series(1, len(words) - 8 + 1)) AS u(i)
+  WHERE len(words) >= 8
+), per_doc AS (
+  SELECT key, doc_id, MIN(pos) AS min_pos FROM spans GROUP BY key, doc_id
+), agg AS (
+  SELECT key, MIN({'i': doc_id, 'p': min_pos}) AS fst
+  FROM per_doc GROUP BY key HAVING COUNT(*) >= 2
+), removals AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN agg a ON s.key = a.key
+  WHERE NOT (s.doc_id = struct_extract(a.fst, 'i')
+             AND s.pos = struct_extract(a.fst, 'p'))
+), covered AS (
+  SELECT DISTINCT doc_id, pos + u.off AS idx
+  FROM removals, unnest(generate_series(0, 7)) AS u(off)
+), toks AS (
+  SELECT doc_id, words[i] AS word, CAST(i - 1 AS INT) AS idx
+  FROM w, unnest(generate_series(1, len(words))) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.word, t.idx
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+        # the QUALIFY replica is exact because doc_id keys are unique —
+        # the two-phase key-based sampler and row_number coincide there
+        "cap_per_domain": r"""
+WITH u AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 <> 0
+    THEN 'https://farm.example.com/p/' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u
+), d AS (
+  SELECT doc_id, CASE WHEN len(string_split(host, '.')) >= 2
+    THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+    ELSE host END AS url_domain
+  FROM p
+)
+SELECT doc_id, url_domain FROM d
+QUALIFY row_number() OVER (PARTITION BY url_domain
+  ORDER BY substr(md5('seed4|' || CAST(doc_id AS VARCHAR)), 1, 8),
+           CAST(doc_id AS VARCHAR)) <= 10""",
         # the rates CTE mirrors mix_keep_rates' float arithmetic
         # operation-for-operation; the threshold comparison is the numeric
         # equivalent of the hex-string compare in sampling._thr_hex
@@ -2320,7 +2492,8 @@ FROM scal s LEFT JOIN top t USING (doc_id)""",
             "SELECT 'lsh' AS chk, (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n, TRUE AS ok "
             "UNION ALL SELECT 'ivf', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50), TRUE "
             "UNION ALL SELECT 'pq', 20, TRUE "
-            "UNION ALL SELECT 'ivfpq', 20, TRUE"
+            "UNION ALL SELECT 'ivfpq', 20, TRUE "
+            "UNION ALL SELECT 'exact_top1', 10, TRUE"
         ),
         "topk_users": (
             "SELECT user_id, COUNT(*) AS n_exact, TRUE AS within_bound FROM events "
@@ -2427,7 +2600,9 @@ GROUP BY gram ORDER BY n_exact DESC, gram LIMIT 10""",
             "UNION ALL SELECT 'survivor_groups', (SELECT COUNT(*) FROM c), TRUE "
             "UNION ALL SELECT 'survivor_sample', "
             "CAST((SELECT SUM(LEAST(cnt * 2, 20)) FROM c) AS BIGINT), TRUE "
-            "UNION ALL SELECT 'hot_bucket', (SELECT COUNT(*) FROM documents), TRUE"
+            "UNION ALL SELECT 'hot_bucket', (SELECT COUNT(*) FROM documents), TRUE "
+            "UNION ALL SELECT 'lsh_dup_recall', (SELECT COUNT(*) FROM documents), TRUE "
+            "UNION ALL SELECT 'simhash_h0', (SELECT COUNT(*) FROM documents), TRUE"
         ),
         "grouped_hc_membership": (
             "SELECT COUNT(DISTINCT l_orderkey) AS n_groups, COUNT(*) AS n_rows, "

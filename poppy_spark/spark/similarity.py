@@ -141,6 +141,69 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    iters: int = 5,
+    seed: int = 0,
+    centroids: np.ndarray | None = None,
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): the
+    embedding-level dedup tier modern pipelines run beside MinHash —
+    k-means clusters bound the pairwise work, exact cosine scores run only
+    WITHIN a cluster, and transitive closure groups the near-duplicates.
+    Returns ``(id, component)`` for every vector in a near-dup component
+    (component = smallest member id, ``dedup.duplicate_components``
+    semantics); singletons are absent, as in LSH/exact dedup.
+
+    One verb composing the audited pieces: :func:`ivf_train_centroids`
+    (bottom-k-sampled deterministic driver k-means) / the shared-broadcast
+    cell assignment, a per-cell self-join (pairwise work is
+    sum-of-|cell|^2, NEVER |corpus|^2 — and every cell is hard-bounded by
+    ``max_cell_size`` via the content-hash thinning of
+    :func:`_thin_hot_cells`, so a degenerate embedding cluster cannot
+    quadratically blow up its cell), exact cosine >= ``threshold``
+    filtering, and min-label connected components.
+
+    Recall caveat (inherent to SemDeDup): near-dup pairs straddling a
+    cluster boundary are missed; thresholds near 1 keep the miss rate low
+    because near-identical vectors share a nearest centroid.  At 100 TB
+    the only corpus-sized exchanges are the cell equi-join (uniform by
+    construction after thinning) and the component propagation over the
+    surviving edge list."""
+    from poppy_spark.spark.dedup import duplicate_components
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, id_col, vec_col, n_centroids, iters=iters, seed=seed
+        )
+    c = (
+        with_normalized(corpus, vec_col)
+        .select(F.col(id_col).alias("id"), F.col("vec_n").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    bc = spark.sparkContext.broadcast(centroids.T.copy())
+    cells = c.withColumn(
+        "cell", _ivf_cells_udf(bc, centroids.shape[0], 1)(F.col("v"))[0]
+    )
+    cells = _thin_hot_cells(cells, max_cell_size)
+    a = cells.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = cells.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return duplicate_components(edges)
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     id_col: str,

@@ -98,6 +98,74 @@ def repeated_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 20,
+    min_docs: int = 2,
+    stride: int = 1,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Excise repeated spans from the corpus, keeping each span's FIRST
+    occurrence — the removal half of Lee et al. 2022 (the reference point
+    for this module), beside :func:`repeated_spans`' detection half: every
+    word covered by a non-first occurrence of a cross-document repeated
+    span is deleted, and the first occurrence (the detection's
+    deterministic ``(id, pos)`` argmin) survives verbatim.
+
+    Returns ``(id_col, output_col)`` (default ``text_col``) with the text
+    rebuilt as the space-joined surviving words.  The rebuild works in
+    the detection's token space, so output text is lowercased and
+    whitespace-normalized (exactly ``_words``); overlapping removed spans
+    union their covered ranges; a doc whose every word is covered comes
+    back as ``''``.
+
+    Physical shape mirrors ``line_dedup_corpus`` (``dedup.py:498``): the
+    span scan emits (digest, id, pos) tuples only; the occurrence-vs-
+    first filter is a digest-keyed equi-join whose right side holds ONE
+    row per repeated span (AQE broadcasts it when small; a boilerplate
+    span repeated 10^6 times is 10^6 tuple rows against 1 — skew-join
+    splittable because the right side is unique-keyed); removal starts
+    fold to one ``array<int>`` per doc; and the only exchange carrying
+    text is the final doc-keyed equi-join (unique key, skew-free) with
+    an in-place array filter.  ``stride`` thins detection AND removal by
+    the same content rule, so they stay consistent under subsampling."""
+    out = output_col or text_col
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_span_keys(text_col, span_words, stride)).alias("s"),
+    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+    rep = repeated_spans(
+        df, text_col, id_col, span_words=span_words, min_docs=min_docs,
+        stride=stride,
+    ).select(F.col("span_hash").alias("__key"), "first_id", "first_pos")
+    starts = (
+        spans.join(rep, "__key")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("first_id"))
+                & (F.col("__pos") == F.col("first_pos"))
+            )
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    src = df.select(F.col(id_col).alias("__id"), _words(F.col(text_col)).alias("__w"))
+    joined = src.join(starts, "__id", "left")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__w"),
+        lambda w, i: ~F.exists(
+            st, lambda s: (i >= s) & (i < s + F.lit(span_words))
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.concat_ws(" ", kept).alias(out),
+    )
+
+
 def span_texts(
     spans: DataFrame,
     df: DataFrame,

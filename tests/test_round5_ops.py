@@ -201,6 +201,151 @@ class TestGroupedShardedPartitionTypes:
         assert probed.filter(~F.col("hit")).count() == 0
 
 
+class TestSemanticDedup:
+    def test_planted_paraphrase_clusters(self, spark):
+        """Planted paraphrase groups (exact scaled copies — cosine exactly 1
+        after normalization) must land in one component each."""
+        from poppy_spark.spark.similarity import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        base = emb.filter(F.col("vec_id") < 10)
+        copies = [
+            base.select(
+                (F.col("vec_id") + 100_000 * j).alias("vec_id"),
+                F.transform("embedding", lambda x: x * float(2 ** j))
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+            for j in (1, 2)
+        ]
+        allv = emb.unionAll(copies[0]).unionAll(copies[1])
+        out = semantic_dedup(
+            allv, "vec_id", "embedding", threshold=0.999, n_centroids=8, iters=3
+        )
+        comp = {r["id"]: r["component"] for r in out.collect()}
+        for i in range(10):
+            assert comp[i] == comp[100_000 + i] == comp[200_000 + i]
+        # distinct base vectors stay in distinct components (no spurious
+        # merging at a threshold this tight)
+        assert len({comp[i] for i in range(10)}) == 10
+
+    def test_hot_cell_capped_pairs_bounded(self, spark):
+        """A degenerate cluster (many identical vectors) is content-hash
+        thinned to max_cell_size before the per-cell self-join, so the
+        quadratic stage is bounded; survivors still cluster together."""
+        from poppy_spark.spark.similarity import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        one = emb.filter(F.col("vec_id") == 0).select("embedding")
+        clones = (
+            emb.filter(F.col("vec_id") < 300)
+            .select((F.col("vec_id") + 500_000).alias("vec_id"))
+            .crossJoin(one)
+        )
+        allv = emb.unionAll(clones.select("vec_id", "embedding"))
+        out = semantic_dedup(
+            allv, "vec_id", "embedding", threshold=0.999, n_centroids=4,
+            iters=2, max_cell_size=50,
+        )
+        comp = {r["id"]: r["component"] for r in out.collect()}
+        clone_comps = {c for i, c in comp.items() if i >= 500_000 or i == 0}
+        # the thinned survivors of the degenerate cluster form ONE component
+        assert len(clone_comps) == 1
+        # and thinning really dropped members: not all 301 clones survive
+        n_clustered = sum(1 for i in comp if i >= 500_000)
+        assert 2 <= n_clustered < 301
+
+
+def _brute_remove_spans(docs: dict, span_words: int, min_docs: int) -> dict:
+    import hashlib
+    import re
+
+    words = {
+        i: [w for w in re.split(r"\s+", t.lower()) if w] for i, t in docs.items()
+    }
+    spanmap = {}
+    for i, w in words.items():
+        for p in range(max(0, len(w) - span_words + 1)):
+            key = hashlib.md5(" ".join(w[p:p + span_words]).encode()).hexdigest()
+            spanmap.setdefault(key, []).append((i, p))
+    covered = {i: set() for i in docs}
+    for occ in spanmap.values():
+        if len({i for i, _ in occ}) >= min_docs:
+            first = min(occ)
+            for i, p in occ:
+                if (i, p) != first:
+                    covered[i].update(range(p, p + span_words))
+    return {
+        i: " ".join(w for j, w in enumerate(words[i]) if j not in covered[i])
+        for i in docs
+    }
+
+
+class TestRemoveRepeatedSpans:
+    def test_matches_bruteforce_with_overlaps(self, spark):
+        """Planted boilerplate + overlapping repeats: the rebuild must equal
+        the definitional per-occurrence removal (first occurrence kept)."""
+        from poppy_spark.spark.spans import remove_repeated_spans
+
+        boiler = "all rights reserved contact the site administrator today"
+        docs = {
+            1: f"alpha beta gamma {boiler} delta",
+            2: f"epsilon {boiler} zeta eta",
+            3: f"{boiler} {boiler}",  # overlapping + repeated within doc
+            4: "totally unique words that repeat nowhere else at all",
+            5: f"theta iota {boiler}",
+        }
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_repeated_spans(
+                df, "text", "doc_id", span_words=4, min_docs=2
+            ).collect()
+        }
+        want = _brute_remove_spans(docs, 4, 2)
+        assert got == want
+        # the first occurrence's doc keeps the boilerplate verbatim
+        assert boiler in got[1]
+        assert boiler not in got[2] and boiler not in got[5]
+
+    def test_all_words_removed_comes_back_empty(self, spark):
+        from poppy_spark.spark.spans import remove_repeated_spans
+
+        docs = {1: "one two three four", 2: "one two three four", 3: "x y"}
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_repeated_spans(
+                df, "text", "doc_id", span_words=4, min_docs=2
+            ).collect()
+        }
+        assert got == _brute_remove_spans(docs, 4, 2)
+        assert got[1] == "one two three four" and got[2] == ""
+
+    def test_layout_invariant(self, spark):
+        from poppy_spark.spark.spans import remove_repeated_spans
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" shared footer spans the corpus")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        a = remove_repeated_spans(planted, "text", "doc_id", span_words=5, min_docs=3)
+        b = remove_repeated_spans(
+            planted.repartition(13), "text", "doc_id", span_words=5, min_docs=3
+        )
+        assert sorted((r["doc_id"], r["text"]) for r in a.collect()) == sorted(
+            (r["doc_id"], r["text"]) for r in b.collect()
+        )
+
+
 class TestMixedMediaAudio:
     def test_non_audio_rows_pass_through_null(self, spark):
         """extract_audio_features on a mixed media table: image/garbage
