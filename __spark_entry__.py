@@ -1873,6 +1873,58 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).count()
     rows.append(("wav_features_analytic", n_docs, bad_audio == 0))
+
+    # round-5: real zero-dep PNG codec at table scale — same analytic luma
+    # gate as BMP, exercised through the PNG decode path (magic-dispatch)
+    from poppy_spark.spark.multimodal import encode_png
+
+    def make_png(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                g = int(did) % 256
+                out.append(encode_png(np.full((8, 8, 3), g, dtype=np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "media_type": "image",
+                    "media_w": 8,
+                    "media_h": 8,
+                    "media_ms": None,
+                }
+            )
+
+    pngs = docs.mapInPandas(make_png, media_schema)
+    bad_png = (
+        extract_media_features(pngs, allow_fake=False)
+        .select(
+            "doc_id",
+            F.abs(F.col("feat")[0] - (F.col("doc_id") % 256) / F.lit(255.0)).alias("err"),
+        )
+        .filter(F.col("err") > 0.01)
+        .count()
+    )
+    rows.append(("png_luma_analytic", n_docs, bad_png == 0))
+
+    # round-5: perceptual image near-dup — 5 seeded base images x 4
+    # one-pixel variants each; dHash + the banded Hamming join must find
+    # exactly the 30 within-base pairs and nothing across bases
+    from poppy_spark.spark.dedup import signature_near_pairs
+    from poppy_spark.spark.multimodal import image_dhash
+
+    imgs20 = []
+    for i in range(20):
+        rng = np.random.default_rng(1000 + i % 5)
+        px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        px[0, 0] = i // 5  # one-pixel variant marker
+        imgs20.append((i, bytearray(encode_png(px))))
+    img_df = spark.createDataFrame(imgs20, "id long, media binary")
+    pairs = signature_near_pairs(
+        image_dhash(img_df, "id", "media"), "id", "dhash", max_hamming=3
+    ).collect()
+    within = all(r["id_a"] % 5 == r["id_b"] % 5 for r in pairs)
+    rows.append(("image_near_dup", len(pairs), len(pairs) == 30 and within))
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -2223,7 +2275,9 @@ FROM s""",
             "SELECT 'bmp_luma_analytic' AS chk, (SELECT COUNT(*) FROM documents) AS n, TRUE AS ok "
             "UNION ALL SELECT 'bmp_dedup_hash', "
             "(SELECT LEAST(COUNT(*), 256) FROM documents), TRUE "
-            "UNION ALL SELECT 'wav_features_analytic', (SELECT COUNT(*) FROM documents), TRUE"
+            "UNION ALL SELECT 'wav_features_analytic', (SELECT COUNT(*) FROM documents), TRUE "
+            "UNION ALL SELECT 'png_luma_analytic', (SELECT COUNT(*) FROM documents), TRUE "
+            "UNION ALL SELECT 'image_near_dup', 30, TRUE"
         ),
         # the transcripts table is generated in-session (not a registered
         # DuckDB view), so the oracle pins the deterministic generator's

@@ -327,31 +327,35 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
+def signature_near_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
     max_bucket_size: int | None = 2000,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs with SimHash distance <= ``max_hamming``,
-    blocked on 16-bit chunks (a pair within distance 3 must agree on at least
-    one of the 4 chunks).  Chunk buckets larger than ``max_bucket_size`` are
-    deterministically down-sampled before the self-join (skew cap)."""
-    sh = simhash64(df, text_col, id_col)
-    chunks = sh.select(
-        "id",
-        "simhash",
+    """(id_a, id_b, hamming) pairs whose 64-bit signatures are within
+    ``max_hamming`` bits, blocked on 16-bit chunks (a pair within
+    distance 3 must agree on at least one of the 4 chunks — pigeonhole;
+    recall is exact for distance <= 3 and high for 4-6).  Works for ANY
+    64-bit perceptual signature — SimHash text fingerprints
+    (:func:`simhash_near_pairs`) and image dHash
+    (``multimodal.image_dhash``) share this one join.  Chunk buckets
+    larger than ``max_bucket_size`` are deterministically down-sampled
+    before the self-join (skew cap)."""
+    chunks = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    F.shiftright(F.col(sig_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
                 )
                 for i in range(4)
             ])
         ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    ).select("id", "__sig", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
     chunks = _cap_buckets(chunks, ["chunk", "val"], max_bucket_size)
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -365,11 +369,28 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            hamming64(F.col("a.__sig"), F.col("b.__sig")).alias("hamming"),
         )
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash distance <= ``max_hamming``
+    — :func:`simhash64` piped into the generic banded
+    :func:`signature_near_pairs` join."""
+    sh = simhash64(df, text_col, id_col)
+    return signature_near_pairs(
+        sh, "id", "simhash", max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -7,8 +7,12 @@ the honesty-stub codec with REAL no-dependency decoders for two genuinely
 parseable formats — 24-bit uncompressed BMP (manual header parse + numpy
 pixel reshape, :func:`decode_bmp`) and PCM WAV (stdlib ``wave`` +
 numpy, :func:`decode_wav`) — plus a real nearest-neighbor resize.
-:func:`decode_image` now auto-detects BMP by magic; compressed formats
-(JPEG/PNG/MP3/H.264) still require an external codec and keep the
+Round 5 adds a real PNG codec (stdlib ``zlib`` inflate + per-spec
+scanline unfiltering in numpy, :func:`decode_png` / :func:`encode_png`)
+and perceptual image dedup on top of it (:func:`dhash64` /
+:func:`image_dhash` feeding ``dedup.signature_near_pairs``).
+:func:`decode_image` auto-detects BMP and PNG by magic; other compressed
+formats (JPEG/MP3/H.264) still require an external codec and keep the
 clearly-marked fallback: ``NotImplementedError`` unless the deterministic
 fake decoder is requested.
 """
@@ -104,6 +108,132 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 pixels -> a real PNG file (RFC 2083 — stdlib ``zlib``, zero
+    new deps).  Accepts (h, w) gray, (h, w, 3) RGB, or (h, w, 4) RGBA;
+    8-bit, non-interlaced, filter type 0 on every scanline (always valid;
+    compression is zlib's job)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"expected (h,w), (h,w,3) or (h,w,4) uint8, got {px.shape}")
+    import zlib
+
+    h, w = px.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * channels)  # filter byte 0 per scanline
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """A real PNG decoder: stdlib ``zlib`` inflate + per-spec scanline
+    unfiltering (None/Sub/Up/Average/Paeth) in numpy.  Supports 8-bit
+    greyscale / RGB / grey+alpha / RGBA, non-interlaced — the shapes
+    :func:`encode_png` and common tools emit.  Returns (h, w) uint8 for
+    greyscale or (h, w, c) uint8 otherwise.
+
+    Sub and Up unfilter vectorized (a per-channel modular cumsum / one
+    row add); Average and Paeth fall back to a per-pixel scan of just the
+    rows that use them — bounded work, and encoders that matter for the
+    dedup path (ours, and most screenshot pipelines) emit 0/Sub/Up."""
+    import zlib
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}); only 8-bit non-interlaced 0/2/4/6"
+        )
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("corrupt PNG scanline data")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # 8-bit: bytes per pixel == channels
+    for y in range(h):
+        ftype, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: modular cumsum per channel lane
+            rec = line.reshape(w, bpp)
+            rec = np.cumsum(rec, axis=0, dtype=np.int64).reshape(stride) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    rec[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    return px[:, :, 0].copy() if channels == 1 else px
+
+
 def encode_wav(samples: np.ndarray, framerate: int = 16_000) -> bytes:
     """float [-1, 1] mono samples -> a real 16-bit PCM WAV file."""
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
@@ -148,22 +278,87 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def _to_luma(px: np.ndarray) -> np.ndarray:
+    """uint8 pixels (any channel layout this module decodes) -> float32
+    luma in [0, 1] via the BT.601 weights; alpha is ignored."""
+    x = px.astype(np.float32)
+    if x.ndim == 2:
+        return x / 255.0
+    if x.shape[2] == 2:  # grey + alpha
+        return x[:, :, 0] / 255.0
+    return (
+        0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    ) / 255.0
+
+
 def decode_image(buf: bytes, w: int, h: int, allow_fake: bool = False) -> np.ndarray:
-    """Image bytes -> (h, w) float32 luma plane.  Real path: BMP files
-    (detected by magic) decode for real and convert to luma via the
-    BT.601 weights.  Compressed formats need an external codec —
-    ``allow_fake`` keeps the deterministic stub for plumbing tests."""
+    """Image bytes -> (h, w) float32 luma plane.  Real paths, detected by
+    magic: 24-bit BMP and 8-bit PNG (both zero-dependency codecs in this
+    module), converted to luma via the BT.601 weights.  Other compressed
+    formats (JPEG/H.264) need an external codec — ``allow_fake`` keeps
+    the deterministic stub for plumbing tests."""
     if buf[:2] == b"BM":
-        rgb = decode_bmp(buf).astype(np.float32)
-        return (
-            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        ) / 255.0
+        return _to_luma(decode_bmp(buf))
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return _to_luma(decode_png(buf))
     if allow_fake:
         return _fake_decode(buf, w, h)
     raise NotImplementedError(
-        "only BMP decodes natively in this environment; pass allow_fake=True "
-        "for the deterministic stub or plug a real decoder (PIL/ffmpeg) here"
+        "only BMP and PNG decode natively in this environment; pass "
+        "allow_fake=True for the deterministic stub or plug a real decoder "
+        "(PIL/ffmpeg) here"
     )
+
+
+def dhash64(plane: np.ndarray) -> int:
+    """Perceptual difference hash (dHash): resize the luma plane to 8x9
+    and emit 64 bits, one per horizontal neighbor comparison — near-
+    identical images (resizes, small edits, recompressions) land within
+    a few bits of each other."""
+    g = resize_nearest(plane, 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    # two's-complement into a signed 64-bit value (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "id", media_col: str = "media",
+    allow_fake: bool = False,
+) -> DataFrame:
+    """``(id, dhash bigint)`` per decodable image row (BMP/PNG by magic;
+    NULL or undecodable rows are skipped) — Arrow-batched ``mapInPandas``,
+    bounded batches, binary bytes never leave their partition.  Feed the
+    output to :func:`poppy_spark.spark.dedup.signature_near_pairs` for
+    Hamming-banded perceptual near-dup candidate pairs (the image analog
+    of SimHash text near-dup)."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, buf in zip(pdf[id_col], pdf[media_col]):
+                if buf is None:
+                    continue
+                try:
+                    plane = decode_image(bytes(buf), 0, 0, allow_fake=allow_fake)
+                except (NotImplementedError, ValueError):
+                    continue
+                ids.append(i)
+                hashes.append(dhash64(plane))
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return df.select(id_col, media_col).mapInPandas(stage, out_schema)
 
 
 def extract_media_features(

@@ -346,6 +346,118 @@ class TestRemoveRepeatedSpans:
         )
 
 
+class TestPngCodec:
+    def test_roundtrip_gray_rgb_rgba(self):
+        from poppy_spark.spark.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        for shape in [(7, 5), (16, 9, 3), (4, 23, 4)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            back = decode_png(encode_png(px))
+            assert back.shape == px.shape
+            assert np.array_equal(back, px)
+
+    def test_all_filter_types_unfilter_correctly(self):
+        """Hand-filter scanlines with Sub/Up/Average/Paeth per the PNG spec
+        and check the decoder reconstructs the original pixels."""
+        import struct
+        import zlib
+
+        from poppy_spark.spark.multimodal import _PNG_SIG, _paeth, _png_chunk, decode_png
+
+        rng = np.random.default_rng(7)
+        h, w, ch = 6, 5, 3
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.int32)
+        stride = w * ch
+        flat = px.reshape(h, stride)
+        lines = bytearray()
+        for y in range(h):
+            ftype = [0, 1, 2, 3, 4, 2][y]
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+            enc = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if ftype == 0:
+                    enc[x] = cur[x]
+                elif ftype == 1:
+                    enc[x] = (cur[x] - a) & 0xFF
+                elif ftype == 2:
+                    enc[x] = (cur[x] - b) & 0xFF
+                elif ftype == 3:
+                    enc[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    enc[x] = (cur[x] - _paeth(a, b, c)) & 0xFF
+            lines += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+        buf = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(buf), px.astype(np.uint8))
+
+    def test_rejects_non_png_and_unsupported(self):
+        import pytest as _pytest
+
+        from poppy_spark.spark.multimodal import decode_png
+
+        with _pytest.raises(ValueError):
+            decode_png(b"definitely not a png")
+
+
+class TestImageDhashNearDup:
+    def test_dhash_identity_and_perturbation(self):
+        from poppy_spark.spark.multimodal import (
+            decode_png,
+            dhash64,
+            encode_png,
+            _to_luma,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        tweaked = base.copy()
+        tweaked[0, 0] = [255, 255, 255]  # single-pixel edit
+        other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        h_base = dhash64(_to_luma(decode_png(encode_png(base))))
+        h_tweak = dhash64(_to_luma(decode_png(encode_png(tweaked))))
+        h_other = dhash64(_to_luma(decode_png(encode_png(other))))
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(h_base, h_base) == 0
+        assert ham(h_base, h_tweak) <= 3
+        assert ham(h_base, h_other) > 10
+
+    def test_spark_image_near_dup_pipeline(self, spark):
+        """PNG + BMP rows hash via image_dhash, planted near-identical
+        pairs surface through the generic banded signature join, garbage
+        rows are skipped."""
+        from poppy_spark.spark.dedup import signature_near_pairs
+        from poppy_spark.spark.multimodal import encode_bmp, encode_png, image_dhash
+
+        rng = np.random.default_rng(9)
+        rows = []
+        for i in range(6):
+            img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+            near = img.copy()
+            near[0, 0] = 0  # tiny edit -> near-dup
+            rows.append((i, bytearray(encode_png(img))))
+            rows.append((1000 + i, bytearray(encode_png(near) if i % 2 else encode_bmp(near))))
+        rows.append((9999, bytearray(b"not an image at all")))
+        rows.append((9998, None))
+        df = spark.createDataFrame(rows, "id long, media binary")
+        sigs = image_dhash(df, "id", "media")
+        got_ids = {r["id"] for r in sigs.collect()}
+        assert 9999 not in got_ids and 9998 not in got_ids
+        assert len(got_ids) == 12
+        pairs = signature_near_pairs(sigs, "id", "dhash", max_hamming=3).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(6):
+            assert (i, 1000 + i) in found, f"planted near-dup {i} missed: {found}"
+
+
 class TestMixedMediaAudio:
     def test_non_audio_rows_pass_through_null(self, spark):
         """extract_audio_features on a mixed media table: image/garbage
