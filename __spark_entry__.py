@@ -605,11 +605,14 @@ def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
-    dup = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dup = docs.select((F.col("doc_id") + F.lit(off)).alias("doc_id"), "text")
     both = docs.unionAll(dup)
     sigs = minhash_signatures(both, "text", "doc_id", n_perms=64, k=3)
     cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
-    found = cands.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    found = cands.filter(
+        (F.col("id_a") < off) & (F.col("id_b") - F.col("id_a") == off)
+    ).count()
     return spark.createDataFrame(
         [(n, n - found)], "n_docs bigint, n_missed bigint"
     )
@@ -622,10 +625,11 @@ def q_simhash_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
-    dup = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dup = docs.select((F.col("doc_id") + F.lit(off)).alias("doc_id"), "text")
     sh = simhash64(docs.unionAll(dup), "text", "doc_id")
-    a = sh.filter(F.col("id") < 1_000_000).select(F.col("id").alias("ia"), F.col("simhash").alias("ha"))
-    b = sh.filter(F.col("id") >= 1_000_000).select((F.col("id") - 1_000_000).alias("ia"), F.col("simhash").alias("hb"))
+    a = sh.filter(F.col("id") < off).select(F.col("id").alias("ia"), F.col("simhash").alias("ha"))
+    b = sh.filter(F.col("id") >= off).select((F.col("id") - off).alias("ia"), F.col("simhash").alias("hb"))
     n_h0 = a.join(b, "ia").filter(F.col("ha") == F.col("hb")).count()
     return spark.createDataFrame([(n, n_h0)], "n_docs bigint, n_hamming0 bigint")
 
@@ -1340,13 +1344,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poppy_spark.spark.dedup import drop_exact_duplicates, exact_duplicate_groups
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # id-layout-robust shift (works at any scale/replication of the table)
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     both = docs.unionAll(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        docs.select((F.col("doc_id") + off).alias("doc_id"), "text")
     )
     surv = drop_exact_duplicates(both, "text", "doc_id")
     groups = exact_duplicate_groups(both, "text", "doc_id", max_ids=20)
     n_surv = surv.count()
-    all_orig = surv.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    all_orig = surv.filter(F.col("doc_id") >= off).count() == 0
     n_groups = groups.count()
     n_sampled = groups.agg(F.sum(F.size("doc_ids"))).collect()[0][0]
     return spark.createDataFrame(
@@ -1364,9 +1370,10 @@ def q_lsh_hot_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     n = docs.count()
-    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dup = docs.select((F.col("doc_id") + off).alias("doc_id"), "text")
     hot = spark.range(0, 3000).select(
-        (F.col("id") + 2_000_000).alias("doc_id"),
+        (F.col("id") + 2 * off).alias("doc_id"),
         F.lit("accept all cookies to continue to the site content").alias("text"),
     )
     corpus = docs.unionAll(dup).unionAll(hot)
@@ -1374,11 +1381,11 @@ def q_lsh_hot_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(corpus, "text", "doc_id", n_perms=32, k=3)
     cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, max_bucket_size=cap)
     hot_pairs = cands.filter(
-        (F.col("id_a") >= 2_000_000) & (F.col("id_b") >= 2_000_000)
+        (F.col("id_a") >= 2 * off) & (F.col("id_b") >= 2 * off)
     ).count()
     bounded = 0 < hot_pairs <= 8 * cap * (cap - 1) // 2
     found = cands.filter(
-        (F.col("id_a") < 1_000_000) & (F.col("id_b") - F.col("id_a") == 1_000_000)
+        (F.col("id_a") < off) & (F.col("id_b") - F.col("id_a") == off)
     ).count()
     return spark.createDataFrame(
         [(n, n - found, bounded)],

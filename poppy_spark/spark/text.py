@@ -85,7 +85,9 @@ def bpe_ish_token_count(text: Column) -> Column:
     shaped), counting pieces rather than bytes."""
     pieces = F.filter(
         F.split(text, r"(?=[^\w])|(?<=[^\w])|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
-        lambda p: F.trim(p) != "",
+        # keep pieces with any NON-whitespace: trim() strips only spaces,
+        # so a lone "\n" piece would otherwise count (round-5 parity find)
+        lambda p: p.rlike(r"\S"),
     )
     return F.size(pieces).cast("bigint")
 

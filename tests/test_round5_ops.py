@@ -201,6 +201,20 @@ class TestGroupedShardedPartitionTypes:
         assert probed.filter(~F.col("hit")).count() == 0
 
 
+class TestBpePieceWhitespace:
+    def test_non_space_whitespace_pieces_not_counted(self, spark):
+        """Round-5 parity find: a lone newline/tab piece must not count
+        (Spark trim() strips only spaces; the DuckDB oracle's
+        [^\\w\\s] never matched whitespace)."""
+        from poppy_spark.spark.text import bpe_ish_token_count
+
+        df = spark.createDataFrame(
+            [("line\nOnce",), ("a\tb",), ("x \n y",)], "text string"
+        )
+        got = [r[0] for r in df.select(bpe_ish_token_count(F.col("text"))).collect()]
+        assert got == [2, 2, 2]
+
+
 class TestSemanticDedup:
     def test_planted_paraphrase_clusters(self, spark):
         """Planted paraphrase groups (exact scaled copies — cosine exactly 1
