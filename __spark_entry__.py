@@ -1110,7 +1110,12 @@ def q_sharded_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = orders.count()
     capacity = max(2 * n, 600_000)
     budget = 512 * 1024  # bytes one worker is allowed to hold
-    sb = build_sharded_bloom(orders, "o_orderkey", capacity, 0.001, n_shards=8)
+    # size the shard count FROM the budget (not a fixed 8) so the
+    # shards-fit gate holds at any table scale — the auto-sizing path is
+    # itself part of the contract under test
+    sb = build_sharded_bloom(
+        orders, "o_orderkey", capacity, 0.001, target_shard_bytes=budget // 2
+    )
     single = build_sketch(orders, "o_orderkey", BloomSketch.factory(capacity, 0.001))
     single_bytes = single.dumps()
     bytes_equal = sb.to_poppy_bytes(max_bytes=1 << 31) == single_bytes
@@ -1720,12 +1725,22 @@ def q_model_plug_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as marker_dir:
         factory = NaiveBayesLangId(art, marker_dir=marker_dir)
         scored = detect_language(docs.repartition(16), "text", model_factory=factory)
-        n_docs = scored.count()
-        n_null = scored.filter(F.col("lang_guess").isNull()).count()
+        # ONE job for both counts: each Spark job may spawn a fresh set of
+        # Python workers (no reuse guarantee), so the <= 16 marker bound
+        # below is only meaningful if the UDF runs in exactly one job
+        agg = scored.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("lang_guess").isNull().cast("long")).alias("n_null"),
+        ).collect()[0]
+        n_docs, n_null = agg["n"], int(agg["n_null"] or 0)
         rows.append(("nb_docs_scored", n_docs, n_null == 0))
         markers = os.listdir(marker_dir)
         pids = {m.split("-")[0] for m in markers}
-        rows.append(("worker_cached", 1, len(markers) == len(pids) and len(markers) < 16))
+        # once-per-worker proof: every pid instantiated exactly once, and
+        # never more instantiations than the 16 partitions (with 16+ cores
+        # each partition may land on its own fresh worker, so == 16 is
+        # legitimate; > 16 would mean per-batch instantiation)
+        rows.append(("worker_cached", 1, len(markers) == len(pids) and len(markers) <= 16))
 
     planted = spark.createDataFrame(
         [

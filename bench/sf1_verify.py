@@ -133,9 +133,11 @@ def _generate(spark) -> tuple[str, str]:
     )
 
     # guards variant: replica r > 0 deterministically PERMUTES each doc's
-    # words (sort by xxhash64(r|word)) — 10x genuinely DISSIMILAR docs
-    # (shingle overlap destroyed), so the corpus has no synthetic near-dup
-    # families for the LSH bucket cap to thin
+    # words (sort by xxhash64(r|doc_id|word) — the doc_id term matters: a
+    # doc-independent sort CANONICALIZES word order, making docs with
+    # shared vocabulary MORE similar, not less) — 10x genuinely DISSIMILAR
+    # docs (shingle overlap destroyed), so the corpus has no synthetic
+    # near-dup families for the LSH bucket cap to thin
     guards_dir = f"{WORK}/guards"
     os.makedirs(guards_dir, exist_ok=True)
     gparts = []
@@ -151,7 +153,14 @@ def _generate(spark) -> tuple[str, str]:
                         F.transform(
                             words,
                             lambda w: F.struct(
-                                F.xxhash64(F.concat(F.lit(str(r)), w)).alias("h"),
+                                F.xxhash64(
+                                    F.concat(
+                                        F.lit(str(r)),
+                                        F.col("doc_id").cast("string"),
+                                        F.lit("|"),
+                                        w,
+                                    )
+                                ).alias("h"),
                                 w.alias("w"),
                             ),
                         )

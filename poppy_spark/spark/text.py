@@ -35,9 +35,16 @@ def _model_udf(model_factory, return_type: str):
     key = pickle.dumps(model_factory)
 
     def apply_model(texts):
-        predict = _MODEL_CACHE.get(key)
+        # resolve the cache through the module AT RUNTIME: cloudpickle
+        # ships nested functions with a BY-VALUE copy of referenced
+        # globals, so a direct _MODEL_CACHE reference would give every
+        # task its own private (always-cold) dict — the model would
+        # re-instantiate once per task, not once per worker process
+        from poppy_spark.spark.text import _MODEL_CACHE as cache
+
+        predict = cache.get(key)
         if predict is None:
-            predict = _MODEL_CACHE[key] = model_factory()
+            predict = cache[key] = model_factory()
         return pd.Series(predict(texts.tolist()))
 
     # real annotation objects: this module's `from __future__ import
