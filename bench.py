@@ -411,6 +411,32 @@ def main() -> None:
         "cap_domain_skew",
         lambda: cap_per_domain(skew_urls, "url", "doc_id", 10).count(),
     )
+
+    # round-5 verbs: repeated-span removal (boilerplate tail planted on a
+    # quarter of the docs) and SemDeDup-shaped semantic dedup over the
+    # embeddings table
+    from poppy_spark.spark.similarity import semantic_dedup
+    from poppy_spark.spark.spans import remove_repeated_spans
+
+    spans_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"),
+                     F.lit(" all rights reserved contact the site administrator today")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    bench(
+        "remove_spans_docs",
+        lambda: remove_repeated_spans(spans_docs, "text", "doc_id",
+                                      span_words=8, min_docs=2)
+        .agg(F.sum(F.length("text"))).collect(),
+    )
+    bench(
+        "semantic_dedup_emb",
+        lambda: semantic_dedup(emb, "vec_id", "embedding", threshold=0.95,
+                               n_centroids=32, iters=3).count(),
+    )
     bench("media_codecs", media_row)
 
     from poppy_spark.spark.similarity import pq_encode, pq_topk, pq_train_codebooks
