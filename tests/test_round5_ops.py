@@ -422,6 +422,64 @@ class TestPngCodec:
             decode_png(b"definitely not a png")
 
 
+class TestPngProperties:
+    def test_decode_inverts_any_spec_filtering(self):
+        """Property pin: for random images and random per-scanline filter
+        choices, a reference per-spec filterer + the decoder roundtrip
+        byte-exactly (all five filter types, all four color layouts)."""
+        import struct
+        import zlib
+
+        import hypothesis.strategies as st
+        from hypothesis import given, settings
+
+        from poppy_spark.spark.multimodal import (
+            _PNG_SIG,
+            _paeth,
+            _png_chunk,
+            decode_png,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.integers(1, 9),  # h
+            st.integers(1, 9),  # w
+            st.sampled_from([1, 2, 3, 4]),  # channels
+            st.integers(0, 2**32 - 1),  # pixel seed
+            st.lists(st.integers(0, 4), min_size=9, max_size=9),  # filters
+        )
+        def roundtrip(h, w, ch, seed, ftypes):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            stride = w * ch
+            flat = px.reshape(h, stride).astype(np.int32)
+            lines = bytearray()
+            for y in range(h):
+                ftype = ftypes[y]
+                cur = flat[y]
+                prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+                enc = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pred = [0, a, b, (a + b) >> 1, _paeth(a, b, c)][ftype]
+                    enc[x] = (cur[x] - pred) & 0xFF
+                lines += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+            color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+            buf = (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+                + _png_chunk(b"IEND", b"")
+            )
+            got = decode_png(buf)
+            want = px[:, :, 0] if ch == 1 else px
+            assert np.array_equal(got, want)
+
+        roundtrip()
+
+
 class TestImageDhashNearDup:
     def test_dhash_identity_and_perturbation(self):
         from poppy_spark.spark.multimodal import (
