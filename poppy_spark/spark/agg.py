@@ -413,6 +413,7 @@ def build_sketch_grouped(
     factory: Callable[[], Sketch],
     int_keys: str = "string",
     max_task_state_bytes: int = 512 << 20,
+    repartition: int | None = None,
 ) -> DataFrame:
     """One merged sketch per group: ``(group..., state binary, n_rows)``.
 
@@ -428,9 +429,22 @@ def build_sketch_grouped(
     per-group filters individually too large for one task, use
     :func:`poppy_spark.spark.sharded.build_sharded_bloom_grouped` — one
     bucket-range-sharded filter per group, task memory = one shard.
+
+    Like :func:`build_sketch_df`, a small input file count must not
+    serialize phase 1 (round-5: a one-split scan ran the whole update on
+    ONE core): with ``repartition=None`` a scan with fewer splits than
+    cores is spread round-robin first — extra partials per group, which
+    phase 2 absorbs.  Pass an explicit ``repartition`` to pin it.
     """
     group_cols = list(group_cols)
     sel = df.select(*group_cols, _key_expr(df, col, factory, int_keys).alias("__key__"))
+    n_parts = sel.rdd.getNumPartitions()
+    if repartition is None:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if n_parts < cores:
+            repartition = cores
+    if repartition and repartition != n_parts:
+        sel = sel.repartition(repartition)
     out_schema = _grouped_schema(df, group_cols)
     from pyspark.sql.pandas.types import to_arrow_schema
 
