@@ -88,6 +88,16 @@ class _Params:
 _INT_MODE = {"string": "raise", "le8": "le8", "typed": "typed"}
 
 
+def _spread_low_split(sel: DataFrame) -> DataFrame:
+    """A small input file count must not serialize the Arrow index phase:
+    spread a scan with fewer splits than cores round-robin before the
+    hashing mapInArrow (no-op at real scale, where inputs arrive with
+    plenty of splits) — the same guard as ``build_sketch_df``."""
+    n_parts = sel.rdd.getNumPartitions()
+    cores = sel.sparkSession.sparkContext.defaultParallelism
+    return sel.repartition(cores) if n_parts < cores else sel
+
+
 def _route_batch(keys: pa.Array, p: _Params, dedup: bool, int_mode: str = "raise"):
     """(shard_id int32, ibucket int64, idx (n,k) uint16) for one Arrow batch."""
     from poppy_spark.core import hashkern as hk
@@ -756,7 +766,7 @@ def build_sharded_bloom(
         n_shards = max(1, math.ceil(total_buckets * BUCKET_SIZE / target_shard_bytes))
     p = _Params.make(capacity, fpp, n_shards)
 
-    keys = df.select(_as_key(df, col, int_keys).alias("__key"))
+    keys = _spread_low_split(df.select(_as_key(df, col, int_keys).alias("__key")))
     int_mode = _INT_MODE[int_keys]
 
     def index_fn(batches):
@@ -1206,7 +1216,9 @@ def build_sharded_bloom_grouped(
     int_mode = _INT_MODE[int_keys]
 
     gfield = df.schema[group_col]
-    keyed = df.select(F.col(group_col), _as_key(df, col, int_keys).alias("__key"))
+    keyed = _spread_low_split(
+        df.select(F.col(group_col), _as_key(df, col, int_keys).alias("__key"))
+    )
 
     def index_fn(batches):
         for b in batches:
