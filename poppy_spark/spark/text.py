@@ -99,6 +99,66 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(pieces).cast("bigint")
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    output_col: str | None = None,
+    form: str | None = "NFC",
+    fold_accents: bool = False,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """The standard corpus text-normalization pass (the C4/RefinedWeb
+    pre-dedup step): Unicode normalization to ``form`` (NFC/NFKC/NFD/NFKD,
+    or None to skip), optional accent folding (NFKD + drop combining
+    marks — DuckDB ``strip_accents`` semantics), control-character
+    stripping (C0/C1 except ``\\t\\n``), and whitespace-run collapsing
+    (any run of spaces/tabs becomes one space; newlines survive so
+    line-level dedup still sees document structure).
+
+    Unicode normalization has no JVM builtin, so that step is one
+    Arrow-batched pandas UDF (``unicodedata`` is C-speed per string);
+    everything else is codegen ``regexp_replace``.  With ``form=None``
+    and ``fold_accents=False`` the whole pass is pure JVM.  Dedup
+    pipelines should normalize FIRST: NFC-equal texts hash equal
+    afterwards, so exact dedup stops splitting on representation."""
+    if form is not None and form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = output_col or text_col
+    col = F.col(text_col)
+    if form is not None or fold_accents:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        _form, _fold = form, fold_accents
+
+        def norm(texts):
+            import unicodedata
+
+            def one(t):
+                if t is None:
+                    return None
+                if _form is not None:
+                    t = unicodedata.normalize(_form, t)
+                if _fold:
+                    t = "".join(
+                        c
+                        for c in unicodedata.normalize("NFKD", t)
+                        if not unicodedata.combining(c)
+                    )
+                return t
+
+            return pd.Series([one(t) for t in texts])
+
+        norm.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        col = pandas_udf(norm, "string")(col)
+    if strip_control:
+        col = F.regexp_replace(col, r"[\x00-\x08\x0b-\x1f\x7f-\x9f]", "")
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"[ \t]+", " "))
+    return df.withColumn(out, col)
+
+
 def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Append n_tokens / n_chars / punct_ratio / digit_ratio / upper_ratio /
     mean_word_len / whitespace_ratio columns."""

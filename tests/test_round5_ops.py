@@ -201,6 +201,95 @@ class TestGroupedShardedPartitionTypes:
         assert probed.filter(~F.col("hit")).count() == 0
 
 
+class TestNormalizeText:
+    CASES = [
+        "étude",            # decomposed accent
+        "étude",             # precomposed
+        "café  du   parc",   # whitespace runs
+        "ligature ﬁn",       # NFC keeps the ligature
+        "ctrl\x00\x01here\x7f",   # control chars
+        "tabs\tand\nnewlines",
+        "",
+        "Ångström Å",  # Å vs Angstrom sign (NFC folds U+212B)
+    ]
+
+    def test_nfc_matches_duckdb(self, spark):
+        """Cross-oracle: Spark normalize_text(form='NFC', everything else
+        off) must equal DuckDB nfc_normalize byte-for-byte."""
+        import duckdb
+
+        from poppy_spark.spark.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)], "id long, text string"
+        )
+        got = {
+            r["id"]: r["text"]
+            for r in normalize_text(
+                df, "text", form="NFC", strip_control=False,
+                collapse_whitespace=False,
+            ).collect()
+        }
+        for i, t in enumerate(self.CASES):
+            exp = duckdb.sql("select nfc_normalize(?)", params=[t]).fetchone()[0]
+            assert got[i] == exp, (t, got[i], exp)
+
+    def test_accent_folding_matches_duckdb(self, spark):
+        import duckdb
+
+        from poppy_spark.spark.text import normalize_text
+
+        cases = ["éÈç", "naïve façade", "é"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "id long, text string"
+        )
+        got = {
+            r["id"]: r["text"]
+            for r in normalize_text(
+                df, "text", form=None, fold_accents=True,
+                strip_control=False, collapse_whitespace=False,
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            exp = duckdb.sql("select strip_accents(?)", params=[t]).fetchone()[0]
+            assert got[i] == exp, (t, got[i], exp)
+
+    def test_control_and_whitespace_cleanup(self, spark):
+        from poppy_spark.spark.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "a\x00b  c\t\td \n e"), (2, None)], "id long, text string"
+        )
+        got = {r["id"]: r["text"] for r in normalize_text(df, "text").collect()}
+        assert got[1] == "ab c d \n e"
+        assert got[2] is None
+
+    def test_dedup_after_normalization(self, spark):
+        """The motivating composition: NFC-equal representations dedup
+        together after normalize_text, not before."""
+        from poppy_spark.spark.dedup import drop_exact_duplicates
+        from poppy_spark.spark.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "café"), (3, "other")],
+            "doc_id long, text string",
+        )
+        before = drop_exact_duplicates(df, "text", "doc_id").count()
+        after = drop_exact_duplicates(
+            normalize_text(df, "text"), "text", "doc_id"
+        ).count()
+        assert before == 3 and after == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from poppy_spark.spark.text import normalize_text
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        with _pytest.raises(ValueError):
+            normalize_text(df, "text", form="NFX")
+
+
 class TestBpePieceWhitespace:
     def test_non_space_whitespace_pieces_not_counted(self, spark):
         """Round-5 parity find: a lone newline/tab piece must not count
