@@ -360,6 +360,38 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(planted, "text").select("doc_id", "text", "pii_found")
 
 
+def q_text_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (folds scrub_pii — round-4 window discipline): the full
+    corpus text-cleaning pass end-to-end.  Plants non-NFC sequences
+    (decomposed combining accents), C0/C1 control bytes, whitespace runs,
+    AND the scrub_pii email/IP/phone fixtures, then runs
+    ``normalize_text`` (NFC via the Arrow-batched unicodedata UDF;
+    control-strip + whitespace-collapse stay codegen ``regexp_replace``)
+    followed by ``scrub_pii``.  DuckDB reproduces the final text
+    byte-for-byte (``nfc_normalize`` + the identical RE2 chain), so this
+    is a TRUE-value oracle over every cleaning stage at once — the exact
+    normalize-then-dedup ordering a C4/RefinedWeb-style pipeline uses."""
+    from poppy_spark.spark.text import normalize_text, scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" cafe\u0301  tab\there"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" contact bob.smith@corp.example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.1.2.3")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 415-555-0199")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ctl\x01\x7fend")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = normalize_text(planted, "text", form="NFC")
+    return scrub_pii(cleaned, "text").select("doc_id", "text", "pii_found")
+
+
 def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-conversation exact dedup (the transcripts shape): documents
     rolled into 100 synthetic conversations plus an exact planted copy of
@@ -545,14 +577,36 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + stopword-vote language id per document — both pure
-    JVM expressions, replicated exactly in the DuckDB oracle (same ratios,
-    same tie-break: max score then lexicographically-max language)."""
-    from poppy_spark.spark.text import detect_language, quality_score
+    """Quality score + stopword-vote language id + the published Gopher
+    quality rules (Rae et al. 2021) per document — all pure JVM
+    expressions, replicated exactly in the DuckDB oracle (same ratios,
+    same tie-break: max score then lexicographically-max language; the
+    Gopher ratio rules evaluate in integer arithmetic on both sides, so
+    every boolean is bit-exact)."""
+    from poppy_spark.spark.text import (
+        detect_language,
+        gopher_quality_filters,
+        quality_score,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    out = detect_language(quality_score(docs, "text"), "text")
-    return out.select("doc_id", F.col("quality"), F.col("lang_guess"))
+    out = gopher_quality_filters(
+        detect_language(quality_score(docs, "text"), "text"), "text"
+    )
+    return out.select(
+        "doc_id",
+        F.col("quality"),
+        F.col("lang_guess"),
+        F.col("n_words"),
+        F.col("rule_words"),
+        F.col("rule_mean_wl"),
+        F.col("rule_symbols"),
+        F.col("rule_bullets"),
+        F.col("rule_ellipsis"),
+        F.col("rule_alpha"),
+        F.col("rule_stops"),
+        F.col("gopher_pass"),
+    )
 
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2136,7 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
-        "scrub_pii": q_scrub_pii,
+        "text_clean_suite": q_text_clean_suite,  # folds scrub_pii + normalize_text
         # sampling family
         "hash_sample_split": q_hash_sample_split,
         "bottom_k_sample": q_bottom_k_sample,
@@ -2249,8 +2303,34 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_lang": """WITH w AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS words,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS words_cs,
+         regexp_split_to_array(text, '\\n') AS lines,
          length(text) AS n_chars
   FROM documents
+), gm AS (
+  SELECT doc_id,
+         CAST(len(words_cs) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words_cs, x -> length(x))), 0) AS BIGINT) AS total_chars,
+         CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) AS BIGINT) AS n_ell,
+         CAST(len(list_filter(words_cs, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         (CAST(list_contains(words, 'the') AS INT) + CAST(list_contains(words, 'be') AS INT)
+          + CAST(list_contains(words, 'to') AS INT) + CAST(list_contains(words, 'of') AS INT)
+          + CAST(list_contains(words, 'and') AS INT) + CAST(list_contains(words, 'that') AS INT)
+          + CAST(list_contains(words, 'have') AS INT) + CAST(list_contains(words, 'with') AS INT)) AS stop_hits
+  FROM w
+), gr AS (
+  SELECT doc_id, n_words,
+         n_words >= 50 AND n_words <= 100000 AS rule_words,
+         3 * n_words <= total_chars AND total_chars <= 10 * n_words AS rule_mean_wl,
+         10 * n_sym <= n_words AS rule_symbols,
+         10 * n_bullet <= 9 * n_lines AS rule_bullets,
+         10 * n_ell <= 3 * n_lines AS rule_ellipsis,
+         5 * n_alpha >= 4 * n_words AS rule_alpha,
+         stop_hits >= 2 AS rule_stops
+  FROM gm
 ), s AS (
   SELECT doc_id,
          len(words) AS n_tokens,
@@ -2275,8 +2355,12 @@ SELECT doc_id,
             WHEN s_fr = GREATEST(s_en, s_fr, s_de, s_es) THEN 'fr'
             WHEN s_es = GREATEST(s_en, s_fr, s_de, s_es) THEN 'es'
             WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es) THEN 'en'
-            ELSE 'de' END AS lang_guess
-FROM s""",
+            ELSE 'de' END AS lang_guess,
+       gr.n_words, gr.rule_words, gr.rule_mean_wl, gr.rule_symbols,
+       gr.rule_bullets, gr.rule_ellipsis, gr.rule_alpha, gr.rule_stops,
+       (gr.rule_words AND gr.rule_mean_wl AND gr.rule_symbols AND gr.rule_bullets
+        AND gr.rule_ellipsis AND gr.rule_alpha AND gr.rule_stops) AS gopher_pass
+FROM s JOIN gr USING (doc_id)""",
         "semantic_dedup": (
             "SELECT 'planted_groups' AS chk, 10 AS n, TRUE AS ok "
             "UNION ALL SELECT 'planted_ids_clustered', 30, TRUE "
@@ -2622,20 +2706,28 @@ WITH planted AS (
 )
 SELECT p.doc_id, coalesce(r.text, '') AS text
 FROM planted p LEFT JOIN rebuilt r USING (doc_id)""",
-        "scrub_pii": r"""
+        "text_clean_suite": r"""
 WITH planted AS (
   SELECT doc_id,
-    text || CASE WHEN doc_id % 5 = 0 THEN ' contact bob.smith@corp.example.com' ELSE '' END
+    text || CASE WHEN doc_id % 3 = 0 THEN ' caf' || 'e' || chr(769) || '  tab' || chr(9) || 'here' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' contact bob.smith@corp.example.com' ELSE '' END
          || CASE WHEN doc_id % 7 = 0 THEN ' from 10.1.2.3' ELSE '' END
-         || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0199' ELSE '' END AS text
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0199' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ctl' || chr(1) || chr(127) || 'end' ELSE '' END AS text
   FROM documents
+), cleaned AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      '[\x00-\x08\x0b-\x1f\x7f-\x9f]', '', 'g'),
+      '[ \t]+', ' ', 'g')) AS text
+  FROM planted
 ), scrubbed AS (
   SELECT doc_id, text AS orig,
     regexp_replace(regexp_replace(regexp_replace(text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
       '(?:\+?[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}', '<PHONE>', 'g') AS text
-  FROM planted
+  FROM cleaned
 )
 SELECT doc_id, text, text <> orig AS pii_found FROM scrubbed""",
         "conversation_dedup": r"""

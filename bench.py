@@ -303,6 +303,20 @@ def main() -> None:
         lambda: scrub_pii(docs, "text")
         .agg(F.sum(F.col("pii_found").cast("long"))).collect(),
     )
+    from poppy_spark.spark.text import gopher_quality_filters, normalize_text
+
+    # round-5 text ops: gopher is all-codegen (should track scrub_docs);
+    # normalize carries the one Arrow-batched unicodedata UDF stage
+    bench(
+        "gopher_docs",
+        lambda: gopher_quality_filters(docs, "text")
+        .agg(F.sum(F.col("gopher_pass").cast("long"))).collect(),
+    )
+    bench(
+        "normalize_docs",
+        lambda: normalize_text(docs, "text")
+        .agg(F.sum(F.length("text"))).collect(),
+    )
     bench(
         "profile_events",
         lambda: profile_table(

@@ -242,6 +242,77 @@ def detect_language(
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filters(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    output_col: str = "gopher_pass",
+) -> DataFrame:
+    """The Gopher corpus quality rules (Rae et al. 2021, Table A1) as pure
+    JVM column expressions — the standard published heuristic gate a
+    web-scale training pipeline runs before dedup.  Appends one boolean per
+    rule plus the conjunction ``gopher_pass``:
+
+    - ``rule_words``:     ``min_words <= n_words <= max_words``
+    - ``rule_mean_wl``:   mean word length in [3, 10]
+    - ``rule_symbols``:   (# + ellipsis) to word ratio <= 0.1
+    - ``rule_bullets``:   <= 90% of lines start with a bullet
+    - ``rule_ellipsis``:  <= 30% of lines end with an ellipsis
+    - ``rule_alpha``:     >= 80% of words contain an alphabetic char
+    - ``rule_stops``:     >= 2 of the paper's 8 stop words appear
+
+    Every ratio test is evaluated in INTEGER arithmetic (e.g. mean word
+    length in [3,10] becomes ``3*n_words <= total_chars <= 10*n_words``),
+    so the result is bit-exact and reproducible in any SQL engine — no
+    float-division drift between Spark and an oracle.  Whole plan is
+    codegen (split / filter / aggregate higher-order functions); no UDF,
+    no shuffle: at 100 TB this fuses into the scan."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    words_lc = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("bigint")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = F.regexp_count(t, F.lit(r"#|…|\.\.\.")).cast("bigint")
+    lines = F.split(t, r"\n", -1)
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*•]"))
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)[ \t]*$"))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("bigint")
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(words_lc, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    rules = {
+        "rule_words": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_wl": (F.lit(3) * n_words <= total_chars)
+        & (total_chars <= F.lit(10) * n_words),
+        "rule_symbols": F.lit(10) * n_sym <= n_words,
+        "rule_bullets": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "rule_ellipsis": F.lit(10) * n_ell <= F.lit(3) * n_lines,
+        "rule_alpha": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "rule_stops": stop_hits >= 2,
+    }
+    out = df.withColumn("n_words", n_words)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    gate = None
+    for name in rules:
+        gate = F.col(name) if gate is None else gate & F.col(name)
+    return out.withColumn(output_col, gate)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word ``n``-grams of the lowercased text (empty
     when the text has fewer than ``n`` words).  Pure array expression."""

@@ -644,3 +644,157 @@ class TestMixedMediaAudio:
         assert got[4]["audio_ms"] is None  # bad magic -> NULL, not a crash
         assert got[2]["audio_ms"] == 1000
         assert got[2]["audio_rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)
+
+
+class TestGopherQualityFilters:
+    GOOD = (
+        "The quick brown fox jumps over the lazy dog and then settles down "
+        "to rest with a full belly of warm food that it found near the old "
+        "barn where farmers have stored their grain for many years now and "
+        "plan to keep doing so because the barn is dry and safe from rain."
+    )
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+
+    def test_rule_matrix(self, spark):
+        """Each planted pathology trips exactly its own rule."""
+        from poppy_spark.spark.text import gopher_quality_filters
+
+        cases = [
+            self.GOOD,                                     # 0: passes all
+            "too short to keep",                           # 1: rule_words
+            self.GOOD + "\n" + "\n".join("- item" for _ in range(30)),  # 2: bullets
+            self.GOOD + " " + "#" * 1 + " #### ### ## # # # #",         # 3: symbols
+            " ".join("12345" for _ in range(60)),          # 4: alpha (+stops)
+            " ".join("pneumonoultramicroscopics" for _ in range(60)),   # 5: mean_wl
+            self.GOOD + "\n" + "\n".join("so it goes..." for _ in range(5)),  # 6: ellipsis
+            " ".join(f"w{i}" for i in range(60)),          # 7: stops (no stopwords)
+        ]
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_quality_filters(self._df(spark, cases), "text").collect()
+        }
+        assert got[0]["gopher_pass"] is True
+        assert got[1]["rule_words"] is False
+        assert got[2]["rule_bullets"] is False and got[2]["rule_words"] is True
+        assert got[3]["rule_symbols"] is False
+        assert got[4]["rule_alpha"] is False
+        assert got[5]["rule_mean_wl"] is False
+        assert got[6]["rule_ellipsis"] is False
+        assert got[7]["rule_stops"] is False
+        for i in range(1, 8):
+            assert got[i]["gopher_pass"] is False, i
+
+    def test_brute_force_reference(self, spark):
+        """Spark result equals an independent pure-Python evaluation of the
+        integer-arithmetic rules over real sf0.001 documents + the crafted
+        pathologies."""
+        import re
+
+        from poppy_spark.spark.text import GOPHER_STOPWORDS, gopher_quality_filters
+
+        docs = [
+            r["text"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet"
+            ).limit(40).collect()
+        ]
+        docs += [self.GOOD, "", "word", "#" * 200, "- only\n- bullets\n- here"]
+
+        def ref(t):
+            words = [w for w in re.split(r"\s+", t) if w != ""]
+            words_lc = [w for w in re.split(r"\s+", t.lower()) if w != ""]
+            n = len(words)
+            total = sum(len(w) for w in words)
+            n_sym = len(re.findall(r"#|…|\.\.\.", t))
+            lines = re.split(r"\n", t)
+            n_b = sum(1 for l in lines if re.search(r"^[ \t]*[-*•]", l))
+            n_e = sum(1 for l in lines if re.search(r"(\.\.\.|…)[ \t]*$", l))
+            n_a = sum(1 for w in words if re.search(r"[A-Za-z]", w))
+            stops = sum(1 for w in GOPHER_STOPWORDS if w in words_lc)
+            return {
+                "rule_words": 50 <= n <= 100_000,
+                "rule_mean_wl": 3 * n <= total <= 10 * n,
+                "rule_symbols": 10 * n_sym <= n,
+                "rule_bullets": 10 * n_b <= 9 * len(lines),
+                "rule_ellipsis": 10 * n_e <= 3 * len(lines),
+                "rule_alpha": 5 * n_a >= 4 * n,
+                "rule_stops": stops >= 2,
+                "n_words": n,
+            }
+
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_quality_filters(self._df(spark, docs), "text").collect()
+        }
+        for i, t in enumerate(docs):
+            exp = ref(t)
+            for k, v in exp.items():
+                assert got[i][k] == v, (i, k, t[:60])
+            assert got[i]["gopher_pass"] == all(
+                v for k, v in exp.items() if k.startswith("rule_")
+            )
+
+    def test_duckdb_parity(self, spark):
+        """The exact SQL shape used by the driver oracle reproduces every
+        rule column bit-for-bit."""
+        import duckdb
+
+        from poppy_spark.spark.text import gopher_quality_filters
+
+        cases = [
+            self.GOOD, "", "short", "#" * 99,
+            "- a\n- b\nplain", "ends...\nends…\nplain", "12 34 56",
+            self.GOOD + "\nwith a trailing newline\n",
+        ]
+        sdf = gopher_quality_filters(self._df(spark, cases), "text")
+        got = {r["doc_id"]: r.asDict() for r in sdf.collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, ?)" for i in range(len(cases)))
+            + ") t(doc_id, text)",
+            cases,
+        )
+        sql = r"""
+WITH g AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS words_lc,
+    regexp_split_to_array(text, '\n') AS lines,
+    CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS total_chars,
+    n_sym,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS BIGINT) AS n_ell,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    (CAST(list_contains(words_lc, 'the') AS INT) + CAST(list_contains(words_lc, 'be') AS INT)
+     + CAST(list_contains(words_lc, 'to') AS INT) + CAST(list_contains(words_lc, 'of') AS INT)
+     + CAST(list_contains(words_lc, 'and') AS INT) + CAST(list_contains(words_lc, 'that') AS INT)
+     + CAST(list_contains(words_lc, 'have') AS INT) + CAST(list_contains(words_lc, 'with') AS INT)) AS stop_hits
+  FROM g
+)
+SELECT doc_id, n_words,
+  n_words >= 50 AND n_words <= 100000 AS rule_words,
+  3 * n_words <= total_chars AND total_chars <= 10 * n_words AS rule_mean_wl,
+  10 * n_sym <= n_words AS rule_symbols,
+  10 * n_bullet <= 9 * n_lines AS rule_bullets,
+  10 * n_ell <= 3 * n_lines AS rule_ellipsis,
+  5 * n_alpha >= 4 * n_words AS rule_alpha,
+  stop_hits >= 2 AS rule_stops
+FROM m
+"""
+        for row in con.execute(sql).fetchall():
+            cols = [d[0] for d in con.description]
+            exp = dict(zip(cols, row))
+            i = exp.pop("doc_id")
+            for k, v in exp.items():
+                assert got[i][k] == v, (i, k)
