@@ -272,8 +272,9 @@ def cmd_profile(args) -> int:
 
 def cmd_clean(args) -> int:
     """Beyond-reference: the composed corpus-cleaning pipeline (optional
-    PII scrub -> corpus line dedup -> exact doc dedup -> quality filter)
-    parquet-in, parquet-out, with a JSON summary line."""
+    Unicode normalize -> PII scrub -> corpus line dedup -> exact doc dedup
+    -> quality filter -> Gopher rules) parquet-in, parquet-out, with a
+    JSON summary line."""
     import json
 
     from pyspark.sql import functions as F
@@ -282,11 +283,18 @@ def cmd_clean(args) -> int:
     try:
         spark.sparkContext.setLogLevel("ERROR")
         from poppy_spark.spark.dedup import drop_exact_duplicates, line_dedup_corpus
-        from poppy_spark.spark.text import quality_score, scrub_pii
+        from poppy_spark.spark.text import (
+            gopher_quality_filters,
+            normalize_text,
+            quality_score,
+            scrub_pii,
+        )
 
         df = spark.read.parquet(args.table)
         n_in = df.count()
         cur = df.select(args.id_col, args.text_col)
+        if args.normalize:
+            cur = normalize_text(cur, args.text_col, form=args.normalize)
         if args.scrub:
             cur = scrub_pii(cur, args.text_col).drop("pii_found")
         if args.line_dedup:
@@ -296,6 +304,12 @@ def cmd_clean(args) -> int:
             cur = (
                 quality_score(cur, args.text_col)
                 .filter(F.col("quality") >= args.min_quality)
+                .select(args.id_col, args.text_col)
+            )
+        if args.gopher:
+            cur = (
+                gopher_quality_filters(cur, args.text_col)
+                .filter(F.col("gopher_pass"))
                 .select(args.id_col, args.text_col)
             )
         cur.write.mode("overwrite").parquet(args.out)
@@ -389,9 +403,14 @@ def main(argv=None) -> int:
     cl.add_argument("-j", "--jobs", type=int, default=4)
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--text-col", default="text")
+    cl.add_argument("--normalize", default=None, metavar="FORM",
+                    help="Unicode-normalize text first (NFC/NFKC/NFD/NFKD; "
+                    "also strips control chars + collapses whitespace runs)")
     cl.add_argument("--scrub", action="store_true", help="redact PII first")
     cl.add_argument("--line-dedup", action="store_true", help="corpus line-level dedup")
     cl.add_argument("--min-quality", type=float, default=0.0)
+    cl.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher quality rules (Rae et al. 2021)")
     cl.add_argument("table", help="input parquet path")
     cl.add_argument("out", help="output parquet path")
     cl.set_defaults(fn=cmd_clean)

@@ -112,6 +112,38 @@ def test_cli_clean(tmp_path, capsys):
     assert stat["rows_in"] == 500 and 0 < stat["rows_out"] <= 500
 
 
+def test_cli_clean_normalize_gopher(spark, tmp_path, capsys):
+    """Round-5 flags: --normalize NFC merges representation-variant
+    duplicates before exact dedup; --gopher drops rule-failing docs."""
+    import json
+
+    from poppy_spark.__main__ import main
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then settles down "
+        "to rest with a full belly of warm food that it found near the old "
+        "barn where farmers have stored their grain for many years now and "
+        "plan to keep doing so because the barn is dry and safe from rain"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, good + " cafe\u0301"),      # decomposed
+            (2, good + " caf\u00e9"),       # precomposed NFC-equal dup
+            (3, "too short to survive the gopher word-count rule"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    rc = main(["clean", "-j", "2", "--normalize", "NFC", "--gopher", src, out])
+    assert rc == 0
+    stat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 2 merges into doc 1 post-NFC; doc 3 fails rule_words
+    assert stat["rows_in"] == 3 and stat["rows_out"] == 1
+    survivors = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in survivors] == [1]
+
+
 def test_cli_spans(spark, tmp_path, capsys):
     """Round-4 `spans` subcommand: the planted shared tail surfaces as the
     heaviest repeated span, one JSON line per span."""

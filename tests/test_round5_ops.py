@@ -798,3 +798,38 @@ FROM m
             i = exp.pop("doc_id")
             for k, v in exp.items():
                 assert got[i][k] == v, (i, k)
+
+
+class TestNormalizeIdempotence:
+    def test_idempotent_property(self, spark):
+        """normalize_text is a projection to a fixed point: applying it
+        twice equals applying it once (NFC, accent folding, control strip,
+        and whitespace collapse are each idempotent) — checked over real
+        docs plus adversarial unicode."""
+        from poppy_spark.spark.text import normalize_text
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50).select("doc_id", "text")
+        extra = spark.createDataFrame(
+            [
+                (10_001, "á́ double-combining"),
+                (10_002, "mixed \t\t ws \x01 ctl Å angstrom"),
+                (10_003, "ﬁ ligature é́ acute-on-e-acute"),
+            ],
+            "doc_id long, text string",
+        )
+        for kw in (
+            dict(form="NFC"),
+            dict(form="NFKC", fold_accents=True),
+            dict(form=None),
+        ):
+            once = normalize_text(docs.unionAll(extra), "text", **kw)
+            twice = normalize_text(once, "text", **kw)
+            diff = (
+                once.alias("a")
+                .join(twice.alias("b"), "doc_id")
+                .filter("a.text <> b.text")
+                .count()
+            )
+            assert diff == 0, kw
