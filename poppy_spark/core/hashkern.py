@@ -246,28 +246,50 @@ def _le64_at(mat: np.ndarray, off: np.ndarray, j: int) -> np.ndarray:
     return (g << shifts).sum(axis=1, dtype=U64)
 
 
-def _read_rest_batch(g: np.ndarray, t: np.ndarray) -> np.ndarray:
-    """Vectorized exact-length composed read; ``g`` is (n, >=8) uint8 bytes at
-    the read position, ``t`` the per-row remaining length in 1..=8."""
-    g64 = g[:, :8].astype(U64)
-    le16 = g64[:, 0] | (g64[:, 1] << U64(8))
-    le16b = g64[:, 4] | (g64[:, 5] << U64(8))
-    le32 = le16 | (g64[:, 2] << U64(16)) | (g64[:, 3] << U64(24))
-    le64 = le32 | (le16b << U64(32)) | (g64[:, 6] << U64(48)) | (g64[:, 7] << U64(56))
-    out = np.select(
-        [t == 1, t == 2, t == 3, t == 4, t == 5, t == 6, t == 7],
-        [
-            g64[:, 0],
-            le16,
-            (le16 << U64(8)) | g64[:, 2],
-            le32,
-            (le32 << U64(8)) | g64[:, 4],
-            (le32 << U64(16)) | le16b,
-            (le32 << U64(24)) | (le16b << U64(8)) | g64[:, 6],
-        ],
-        default=le64,
-    )
-    return out.astype(U64)
+def _read_rest_words(w: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Vectorized exact-length composed read from the little-endian u64 word
+    ``w`` holding the 8 bytes at the read position; ``t`` is the per-row
+    remaining length in 1..=8 (t == 0 rows are dead — their value is never
+    consumed by any tail arm).
+
+    Rows are compacted by ``t`` so each row computes exactly its own arm
+    (the previous ``np.select`` formulation materialized all 8 arms for
+    every row — ~5x the work on the common uniform-length batch)."""
+    out = np.zeros_like(w, dtype=U64)
+    if w.size == 0:
+        return out
+    lo, hi = int(t.min()), int(t.max())
+    groups: list[tuple[int, np.ndarray | slice]]
+    if lo == hi:
+        groups = [(lo, slice(None))]
+    else:
+        groups = [(tv, np.flatnonzero(t == tv)) for tv in range(max(lo, 1), hi + 1)]
+    for tv, s in groups:
+        if tv <= 0 or (not isinstance(s, slice) and s.size == 0):
+            continue
+        ww = w[s]
+        if tv == 1:
+            v = ww & U64(0xFF)
+        elif tv == 2:
+            v = ww & U64(0xFFFF)
+        elif tv == 3:
+            v = ((ww & U64(0xFFFF)) << U64(8)) | ((ww >> U64(16)) & U64(0xFF))
+        elif tv == 4:
+            v = ww & U64(0xFFFFFFFF)
+        elif tv == 5:
+            v = ((ww & U64(0xFFFFFFFF)) << U64(8)) | ((ww >> U64(32)) & U64(0xFF))
+        elif tv == 6:
+            v = ((ww & U64(0xFFFFFFFF)) << U64(16)) | ((ww >> U64(32)) & U64(0xFFFF))
+        elif tv == 7:
+            v = (
+                ((ww & U64(0xFFFFFFFF)) << U64(24))
+                | (((ww >> U64(32)) & U64(0xFFFF)) << U64(8))
+                | ((ww >> U64(48)) & U64(0xFF))
+            )
+        else:
+            v = ww
+        out[s] = v
+    return out
 
 
 def wyhash_batch(mat: np.ndarray, lens: np.ndarray, seed: int = POPPY_SEED) -> np.ndarray:
@@ -331,7 +353,13 @@ def _wyhash_sorted(
     # tail: rest_len in 0..=31 at per-row offset 32*(len//32)
     rest_len = (lens % 32).astype(np.int64)
     rest_off = lens - rest_len
-    if sorted_by_len:
+    if maxchunks == 0:
+        # every row is < 32 bytes: the tail IS the row prefix (rest_off is
+        # all-zero), so the 4 tail words are one contiguous copy of the
+        # zero-padded matrix prefix — no gather at all (pack_* guarantees
+        # width >= 40, zero-filled past each row's length)
+        g64 = np.ascontiguousarray(mat[:, :32]).view("<u8")
+    elif sorted_by_len:
         # longest-first rows group CONTIGUOUSLY by chunk count, so the
         # (n, 32) tail read is a handful of plain slice copies instead of a
         # take_along_axis gather (which was ~1/3 of the whole hash)
@@ -341,19 +369,21 @@ def _wyhash_sorted(
             b = int(np.searchsorted(-lens, -(32 * nc), side="right"))
             if a < b:
                 g[a:b] = mat[a:b, 32 * nc : 32 * nc + 32]
+        g64 = g.view("<u8")
     else:
         idx = rest_off[:, None] + np.arange(32, dtype=np.int64)[None, :]
         g = np.take_along_axis(mat, idx, axis=1)  # (n, 32) bytes, zero padded
-    g64 = g[:, :32].copy().view("<u8")  # 4 aligned words of the tail
+        g64 = np.ascontiguousarray(g).view("<u8")  # 4 aligned words of the tail
 
     r = rest_len
     any_tail = bool((r > 0).any())
     if any_tail:
-        # read_rest bytes start at rest_off + 8*((r-1)//8) for the active arm
+        # read_rest bytes start at rest_off + 8*((r-1)//8): always 8-aligned
+        # within the tail, i.e. exactly ONE of the 4 tail words — select it
+        # with a (n, 1) word gather instead of an (n, 8) byte gather
         sub = np.where(r > 0, ((r - 1) // 8) * 8, 0)
-        gidx = (rest_off + sub)[:, None] + np.arange(8, dtype=np.int64)[None, :]
-        gr = np.take_along_axis(mat, gidx, axis=1)
-        rr = _read_rest_batch(gr, np.maximum(r - sub, 0))
+        wsel = np.take_along_axis(g64, (sub >> 3)[:, None], axis=1)[:, 0]
+        rr = _read_rest_words(wsel, np.maximum(r - sub, 0))
         w0, w1, w2 = g64[:, 0], g64[:, 1], g64[:, 2]
         # each row belongs to exactly one arm: compact to the arm's row set
         # and run the mum chain on the subset (the masked formulation paid
@@ -413,10 +443,14 @@ def xorshift_star_batch(seed: np.ndarray) -> np.ndarray:
 
 
 def v2_index_batch(h1: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(bucket_hash, (n, k) bit indexes in [0, 32768)) — v2 double hashing."""
+    """(bucket_hash, (n, k) bit indexes in [0, 32768)) — v2 double hashing.
+
+    The index matrix is uint16 (in-bucket ids are < 32768 by construction):
+    a quarter of the u64 formulation's write traffic, and the downstream
+    statekern/sharded consumers promote to u32/u64 on use anyway."""
     n = h1.shape[0]
     mask = U64(32767)
-    idx = np.empty((n, k), dtype=U64)
+    idx = np.empty((n, k), dtype=np.uint16)
     h = h1.astype(U64, copy=True)
     bucket_hash = xorshift_star_batch(h)
     idx[:, 0] = h & mask

@@ -146,10 +146,10 @@ def _or_bits_into(buckets: np.ndarray, ib_local: np.ndarray, idx: np.ndarray) ->
     bit_ids = (
         ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
     )[:, None] + idx.astype(np.uint64)
-    # no dedup sort: _or_scatter_bits groups by in-byte position and each
-    # group ORs one constant, so duplicate bit ids are harmless — and the
-    # sort was the phase-2 scaling bottleneck (this host's memory subsystem
-    # saturates on large sorts well before 8-way concurrency)
+    # no dedup sort: _or_scatter_bits is a bitwise_or.at scatter, so
+    # duplicate bit ids are harmless — and the sort was the phase-2 scaling
+    # bottleneck (this host's memory subsystem saturates on large sorts
+    # well before 8-way concurrency)
     _or_scatter_bits(buckets, bit_ids.reshape(-1))
 
 
