@@ -140,17 +140,35 @@ def _binary_to_idx(arr, k: int) -> np.ndarray:
     return flat.view("<u2").reshape(n, k)
 
 
-def _or_bits_into(buckets: np.ndarray, ib_local: np.ndarray, idx: np.ndarray) -> None:
-    from poppy_spark.core.statekern import _or_scatter_bits
-
+def _bit_parts(
+    ib_local: np.ndarray, idx: np.ndarray, nbytes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_off, bitmask) for a shard-local (ibucket, idx) batch; uint32
+    index math when the shard state is < 512 MB (always true at the default
+    shard sizing) — half the memory traffic of the u64 formulation."""
+    if nbytes < (1 << 29):
+        flat = (
+            (ib_local.astype(np.uint32) * np.uint32(BUCKET_BITS))[:, None]
+            + idx.astype(np.uint32)
+        ).reshape(-1)
+        return flat >> np.uint32(3), np.uint8(1) << (flat & np.uint32(7)).astype(
+            np.uint8
+        )
     bit_ids = (
         ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
     )[:, None] + idx.astype(np.uint64)
-    # no dedup sort: _or_scatter_bits is a bitwise_or.at scatter, so
-    # duplicate bit ids are harmless — and the sort was the phase-2 scaling
-    # bottleneck (this host's memory subsystem saturates on large sorts
-    # well before 8-way concurrency)
-    _or_scatter_bits(buckets, bit_ids.reshape(-1))
+    flat = bit_ids.reshape(-1)
+    byte_off = (flat >> np.uint64(3)).astype(np.int64)
+    return byte_off, (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+
+
+def _or_bits_into(buckets: np.ndarray, ib_local: np.ndarray, idx: np.ndarray) -> None:
+    # no dedup sort: the bitwise_or.at scatter makes duplicate bit ids
+    # harmless — and the sort was the phase-2 scaling bottleneck (this
+    # host's memory subsystem saturates on large sorts well before 8-way
+    # concurrency)
+    byte_off, bitmask = _bit_parts(ib_local, idx, buckets.size)
+    np.bitwise_or.at(buckets, byte_off, bitmask)
 
 
 class ShardedBloom:
@@ -282,12 +300,7 @@ class ShardedBloom:
             shard_id = int(right["shard_id"].iloc[0])
             ib_local = left["ib"].to_numpy() - shard_id * bps
             idx = _binary_to_idx(pa.array(left["idx"]), k)
-            bit_ids = (
-                ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
-            )[:, None] + idx.astype(np.uint64)
-            flat = bit_ids.reshape(-1)
-            byte_off = (flat >> np.uint64(3)).astype(np.int64)
-            bitmask = (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+            byte_off, bitmask = _bit_parts(ib_local, idx, buckets.size)
             hit = ((buckets[byte_off] & bitmask) != 0).reshape(-1, k).all(axis=1)
             return pd.DataFrame({"rid": left["rid"], "hit": hit})
 
@@ -369,12 +382,7 @@ class ShardedBloom:
             shard_id = int(right.column("__shard_id")[0].as_py())
             ib_local = left.column("__ib").to_numpy(zero_copy_only=False) - shard_id * bps
             idx = _binary_to_idx(left.column("__idx"), k)
-            bit_ids = (
-                ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
-            )[:, None] + idx.astype(np.uint64)
-            flat = bit_ids.reshape(-1)
-            byte_off = (flat >> np.uint64(3)).astype(np.int64)
-            bitmask = (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+            byte_off, bitmask = _bit_parts(ib_local, idx, buckets.size)
             hit = ((buckets[byte_off] & bitmask) != 0).reshape(-1, k).all(axis=1)
             return keep.append_column(output_col, pa.array(hit))
 
@@ -902,12 +910,7 @@ class GroupedShardedBloom:
             shard_id = int(right.column("__shard_id")[0].as_py())
             ib_local = left.column("__ib").to_numpy(zero_copy_only=False) - shard_id * bps
             idx = _binary_to_idx(left.column("__idx"), k)
-            bit_ids = (
-                ib_local.astype(np.uint64) * np.uint64(BUCKET_BITS)
-            )[:, None] + idx.astype(np.uint64)
-            flat = bit_ids.reshape(-1)
-            byte_off = (flat >> np.uint64(3)).astype(np.int64)
-            bitmask = (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
+            byte_off, bitmask = _bit_parts(ib_local, idx, buckets.size)
             hit = ((buckets[byte_off] & bitmask) != 0).reshape(-1, k).all(axis=1)
             return keep.append_column(output_col, pa.array(hit))
 
