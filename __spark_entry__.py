@@ -927,10 +927,48 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_flagged = flagged.count()
     # expected FPs ~ n_train_shingles * fpp ~ 0; allow a couple
     overflag_ok = (n_flagged - n_exact) <= 2
+
+    # round-5: span-level REMOVAL (GPT-3 appendix C's surgical half) —
+    # excise eval-overlapping 5-gram windows from the training text and
+    # gate the TRUE word-level damage tally against the DuckDB replica
+    from poppy_spark.spark.decontam import remove_contaminated_spans
+    from poppy_spark.spark.text import _words
+
+    rebuilt = remove_contaminated_spans(
+        tr, ev, "text", "doc_id", span_words=5, output_col="clean"
+    )
+    orig = tr.select("doc_id", F.size(_words(F.col("text"))).alias("n_orig"))
+    kept = rebuilt.select(
+        "doc_id",
+        F.when(F.col("clean") == "", 0)
+        .otherwise(F.size(F.split(F.col("clean"), " ")))
+        .alias("n_kept"),
+    )
+    dmg = (
+        orig.join(kept, "doc_id")
+        .agg(
+            F.sum(
+                (F.col("n_orig") > F.col("n_kept")).cast("long")
+            ).alias("n_docs_rewritten"),
+            F.sum(F.col("n_orig") - F.col("n_kept")).alias("n_removed_words"),
+        )
+        .collect()[0]
+    )
     return spark.createDataFrame(
-        [(tr.count(), ev.count(), n_exact, n_fn == 0, overflag_ok)],
+        [
+            (
+                tr.count(),
+                ev.count(),
+                n_exact,
+                n_fn == 0,
+                overflag_ok,
+                dmg["n_docs_rewritten"],
+                dmg["n_removed_words"],
+            )
+        ],
         "n_train bigint, n_eval bigint, n_contaminated_exact bigint, "
-        "no_false_negatives boolean, overflag_within_bound boolean",
+        "no_false_negatives boolean, overflag_within_bound boolean, "
+        "n_docs_rewritten bigint, n_removed_words bigint",
     )
 
 
@@ -2539,11 +2577,22 @@ QUALIFY row_number() OVER (PARTITION BY url_domain
             "greatest(len(w)-4, 1)), i -> array_to_string(w[i:i+4], ' '))) AS g FROM w), "
             "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0), "
             "cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (g) "
-            "WHERE s.doc_id % 7 <> 0) "
+            "WHERE s.doc_id % 7 <> 0), "
+            # span-removal replica: positioned train-side 5-gram windows
+            # (the spans rule emits nothing for sub-5-word docs, unlike the
+            # flags' padded shingles), eval-matching windows' covered word
+            # indexes, then the exact word-level damage tally
+            "spans AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS g "
+            "FROM w, unnest(generate_series(1, len(w) - 5 + 1)) AS u(i) "
+            "WHERE len(w) >= 5 AND doc_id % 7 <> 0), "
+            "covered AS (SELECT DISTINCT s.doc_id, s.pos + o.off AS idx "
+            "FROM spans s JOIN ev USING (g), unnest(generate_series(0, 4)) AS o(off)) "
             "SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0) AS n_train, "
             "(SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_eval, "
             "(SELECT COUNT(*) FROM cont) AS n_contaminated_exact, "
-            "TRUE AS no_false_negatives, TRUE AS overflag_within_bound"
+            "TRUE AS no_false_negatives, TRUE AS overflag_within_bound, "
+            "(SELECT COUNT(DISTINCT doc_id) FROM covered) AS n_docs_rewritten, "
+            "(SELECT COUNT(*) FROM covered) AS n_removed_words"
         ),
         "interval_join_events": (
             "SELECT l.event_id, l.user_id, l.ts, r.event_id AS purchase_id "

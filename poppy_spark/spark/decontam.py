@@ -97,3 +97,85 @@ def decontaminate(
     return flagged.filter(~F.col("contaminated")).drop(
         "n_shingles", "n_hits", "contaminated"
     )
+
+
+def remove_contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 13,
+    stride: int = 1,
+    output_col: str | None = None,
+    fpp: float = 1e-3,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Excise eval-overlapping spans from the training text instead of
+    dropping whole documents — the surgical half of the GPT-3 appendix C
+    protocol (flagging is :func:`contamination_flags`): every word covered
+    by a training-side ``span_words``-word window whose content also occurs
+    in ``eval_df`` is deleted, and the rest of the document survives.
+
+    Returns ``(id_col, output_col)`` (default ``text_col``) with the text
+    rebuilt as the space-joined surviving words — the same lowercased
+    whitespace-normalized token space as
+    :func:`poppy_spark.spark.spans.remove_repeated_spans`, whose rebuild
+    shape this reuses.  The result is EXACT: the Bloom prefilter only thins
+    the tuple stream (default ``fpp`` is loose because false positives die
+    in the exact digest join right behind it); matching is by md5 of the
+    space-joined window, so an ANSI engine reproduces the output
+    byte-for-byte (TRUE-value oracle, no bound gates).
+
+    Physical shape at 100 TB: the train side explodes to (id, pos, digest)
+    tuples only — never span text; with ``prefilter`` the Bloom probe is a
+    shuffle-free narrow pass that drops the overwhelmingly-clean tuples
+    before anything wide, so the exact join's left side is ~(matching
+    tuples + n_tuples * fpp) rows; the right side (distinct eval digests)
+    is small and unique-keyed — AQE broadcasts it.  Survivor positions
+    fold to one ``array<int>`` per contaminated doc, and the only exchange
+    carrying text is the final doc-keyed equi-join.  ``stride`` applies
+    the content-determined winnowing rule of ``spans._span_keys`` to BOTH
+    sides, so thinning never misaligns them.
+    """
+    from poppy_spark.spark.spans import _span_keys
+
+    out = output_col or text_col
+    ev = (
+        eval_df.select(F.explode(_span_keys(text_col, span_words, stride)).alias("s"))
+        .select(F.col("s.key").alias("__key"))
+        .distinct()
+    )
+    spans = train_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_span_keys(text_col, span_words, stride)).alias("s"),
+    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+    if prefilter:
+        n_ev = ev.count()
+        filt = build_sketch(ev, "__key", BloomSketch.factory(max(n_ev, 1), fpp))
+        spans = (
+            bloom_contains(spans, "__key", filt.dumps(), "__maybe")
+            .filter(F.col("__maybe"))
+            .drop("__maybe")
+        )
+    starts = (
+        spans.join(ev, "__key")
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    from poppy_spark.spark.text import _words
+
+    src = train_df.select(
+        F.col(id_col).alias("__id"), _words(F.col(text_col)).alias("__w")
+    )
+    joined = src.join(starts, "__id", "left")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__w"),
+        lambda w, i: ~F.exists(
+            st, lambda s: (i >= s) & (i < s + F.lit(span_words))
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.concat_ws(" ", kept).alias(out),
+    )

@@ -72,3 +72,74 @@ class TestContamination:
         ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
         assert ids == set(range(100, 150)) | set(range(300, 305))
         assert clean.columns == trdf.columns
+
+
+class TestRemoveContaminatedSpans:
+    def _brute(self, train, ev_texts, span_words):
+        """Per-doc brute-force excision in plain Python (the semantics)."""
+        def words(t):
+            return [w for w in t.lower().split() if w]
+        ev_spans = set()
+        for t in ev_texts:
+            w = words(t)
+            for i in range(max(len(w) - span_words + 1, 0)):
+                ev_spans.add(tuple(w[i : i + span_words]))
+        out = {}
+        for did, t in train:
+            w = words(t)
+            covered = set()
+            for i in range(max(len(w) - span_words + 1, 0)):
+                if tuple(w[i : i + span_words]) in ev_spans:
+                    covered.update(range(i, i + span_words))
+            out[did] = " ".join(w[i] for i in range(len(w)) if i not in covered)
+        return out
+
+    @pytest.mark.parametrize("prefilter", [True, False])
+    def test_matches_brute_force(self, spark, corpora, prefilter):
+        from poppy_spark.spark.decontam import remove_contaminated_spans
+
+        evdf, trdf = corpora
+        k = 8
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_contaminated_spans(
+                trdf, evdf, "text", "doc_id", span_words=k, prefilter=prefilter
+            ).collect()
+        }
+        train = [(r["doc_id"], r["text"]) for r in trdf.collect()]
+        ev_texts = [r["text"] for r in evdf.collect()]
+        want = self._brute(train, ev_texts, k)
+        assert got == want
+        # dirty docs actually lost their planted eval sentence
+        for did in range(200, 210):
+            assert "evalword" not in got[did]
+            assert got[did].startswith("prefix words here")
+        # clean docs byte-identical (already lowercase single-space)
+        for did in range(100, 150):
+            assert got[did] == dict(train)[did].lower()
+
+    def test_stride_consistent_and_overlap(self, spark):
+        from poppy_spark.spark.decontam import remove_contaminated_spans
+
+        ev = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            "doc_id bigint, text string",
+        )
+        # overlapping contaminated windows + a doc that is ALL contamination
+        tr = spark.createDataFrame(
+            [
+                (1, "x alpha beta gamma delta epsilon zeta y"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "no overlap at all here friend"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_contaminated_spans(
+                tr, ev, "text", "doc_id", span_words=3
+            ).collect()
+        }
+        assert got[1] == "x y"
+        assert got[2] == ""
+        assert got[3] == "no overlap at all here friend"
