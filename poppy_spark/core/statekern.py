@@ -34,6 +34,11 @@ POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 BUCKET_SIZE = 4096  # bytes per v2 bucket (poppy/src/bloom/v2.rs:125)
 BUCKET_BITS = BUCKET_SIZE * 8  # 32768
 
+#: filters below this byte size use uint32 bit-id math in the batch
+#: kernels (half the memory traffic); larger ones fall back to uint64.
+#: Module-level so tests can patch it to exercise both branches.
+U32_BYTES_LIMIT = 1 << 29
+
 
 def popcount(arr: np.ndarray) -> int:
     return int(POP8[arr.view(U8)].sum(dtype=np.int64))
@@ -114,7 +119,7 @@ def v2_or_batch(
     path for distributed partial builds (count is re-estimated at merge)."""
     if idx.shape[0] == 0:
         return
-    if buckets.size < (1 << 29):
+    if buckets.size < U32_BYTES_LIMIT:
         # filter < 512 MB: all bit ids fit uint32 — half the index-math
         # memory traffic of the u64 formulation (measured 1.5x on 20M ids)
         flat = (
@@ -155,7 +160,7 @@ def v2_insert_batch(
     # all index math in unsigned ints (16x faster than int64 broadcasts on
     # some numpy builds); uint32 when the filter is < 512 MB — half the
     # memory traffic of u64
-    if buckets.size < (1 << 29):
+    if buckets.size < U32_BYTES_LIMIT:
         bit_ids = (
             (ibucket.astype(np.uint32) * np.uint32(BUCKET_BITS))[:, None]
             + idx.astype(np.uint32)
@@ -193,7 +198,7 @@ def v2_contains_batch(
         return np.zeros(0, dtype=bool)
     if capacity == 0:
         return np.zeros(n, dtype=bool)
-    if buckets.size < (1 << 29):
+    if buckets.size < U32_BYTES_LIMIT:
         # filter < 512 MB: uint32 index math (see v2_or_batch)
         flat = (
             (ibucket.astype(np.uint32) * np.uint32(BUCKET_BITS))[:, None]

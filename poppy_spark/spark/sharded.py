@@ -146,7 +146,9 @@ def _bit_parts(
     """(byte_off, bitmask) for a shard-local (ibucket, idx) batch; uint32
     index math when the shard state is < 512 MB (always true at the default
     shard sizing) — half the memory traffic of the u64 formulation."""
-    if nbytes < (1 << 29):
+    from poppy_spark.core import statekern
+
+    if nbytes < statekern.U32_BYTES_LIMIT:
         flat = (
             (ib_local.astype(np.uint32) * np.uint32(BUCKET_BITS))[:, None]
             + idx.astype(np.uint32)

@@ -417,3 +417,54 @@ class TestV1Deprecation:
             bf.insert_batch([f"member-key-{i:09d}".encode() for i in range(cap)])
             probes = [f"absent-key-{i:09d}".encode() for i in range(100_000)]
             assert bf.contains_batch(probes).mean() <= p * 2.5
+
+
+class TestU32U64BranchParity:
+    """The batch kernels switch to uint64 bit-id math past U32_BYTES_LIMIT;
+    force the u64 branch on a small filter and assert byte-identical states
+    and identical membership/count against the default u32 branch."""
+
+    def _run_all(self):
+        from poppy_spark.core.v2 import BloomV2
+
+        keys = [f"parity-key-{i:08d}" for i in range(5000)]
+        dup = keys[:500]  # duplicates exercise first-occurrence newness
+        b = BloomV2.with_capacity(6000, 0.001)
+        b.insert_batch(keys)
+        b.insert_batch(dup)
+        b2 = BloomV2.with_capacity(6000, 0.001)
+        b2.insert_batch(keys[:2500])
+        bulk = BloomV2.with_capacity(6000, 0.001)
+        from poppy_spark.core.hashkern import pack_keys
+
+        mat, lens = pack_keys(keys)
+        bulk.insert_packed_bulk(mat, lens)
+        probes = keys[::7] + [f"absent-{i}" for i in range(1000)]
+        return (
+            b.dumps(),
+            b.count,
+            bulk.dumps(),
+            list(b.contains_batch(probes)),
+            b2.count_common_entries(b),
+        )
+
+    def test_u64_branch_matches_u32(self, monkeypatch):
+        from poppy_spark.core import statekern
+
+        base = self._run_all()
+        monkeypatch.setattr(statekern, "U32_BYTES_LIMIT", 0)  # force u64 path
+        forced = self._run_all()
+        assert forced == base
+
+    def test_sharded_bit_parts_u64_branch(self, monkeypatch):
+        from poppy_spark.core import statekern
+        from poppy_spark.spark.sharded import _bit_parts
+
+        rng = np.random.default_rng(11)
+        ib = rng.integers(0, 50, 4000).astype(np.int64)
+        idx = rng.integers(0, 32768, (4000, 9)).astype(np.uint16)
+        off32, mask32 = _bit_parts(ib, idx, 50 * 4096)
+        monkeypatch.setattr(statekern, "U32_BYTES_LIMIT", 0)
+        off64, mask64 = _bit_parts(ib, idx, 50 * 4096)
+        assert np.array_equal(np.asarray(off32, dtype=np.int64), off64)
+        assert np.array_equal(mask32, mask64)
