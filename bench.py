@@ -232,6 +232,17 @@ def main() -> None:
         .count(),
     )
 
+    from poppy_spark.spark.decontam import remove_contaminated_spans
+
+    bench(
+        "decontam_spans",
+        lambda: remove_contaminated_spans(
+            tr_docs, ev_docs, "text", "doc_id", span_words=5
+        )
+        .agg(F.sum(F.length("text")))
+        .collect(),
+    )
+
     bench(
         "pack_docs",
         lambda: pack_sequences(docs, "doc_id", "n_chars", 2048, n_buckets=64).count(),

@@ -230,6 +230,12 @@ def fnv1_batch(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
         return h
     maxlen = int(lens.max()) if n else 0
     prime = U64(FNV_PRIME)
+    if int(lens.min()) == maxlen:
+        # uniform-length batch (le8-packed ints, fixed-width ids): no
+        # masking — every row folds every position
+        for pos in range(maxlen):
+            h = (h * prime) ^ mat[:, pos].astype(U64)
+        return h
     for pos in range(maxlen):
         m = lens > pos
         if not m.any():
