@@ -2039,6 +2039,29 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     within = all(r["id_a"] % 5 == r["id_b"] % 5 for r in pairs)
     rows.append(("image_near_dup", len(pairs), len(pairs) == 30 and within))
+
+    # round-5 session 3: perceptual AUDIO near-dup — 5 amplitude-modulated
+    # chirp bases x 4 low-noise variants; the 64-bit band-delta fingerprint
+    # + the same banded Hamming join must find exactly the 30 within-base
+    # pairs (variants sit <= 3 bits apart, the banding's exact-recall zone;
+    # bases sit > 20 bits apart) and nothing across
+    from poppy_spark.spark.multimodal import audio_near_pairs
+
+    t20 = np.arange(16_000 // 2) / 16_000.0
+    clips = []
+    for i in range(20):
+        base = i % 5
+        rng = np.random.default_rng(7000 + i)
+        f0 = 200 + 700 * base
+        kr = (base + 1) * 1200 * (1 if base % 2 == 0 else -1)
+        env = 0.3 + 0.2 * np.sin(2 * math.pi * (1.5 + base) * t20)
+        x = env * np.sin(2 * math.pi * (f0 + kr * t20) * t20)
+        x = np.clip(x + rng.normal(0, 0.001, x.shape), -1, 1)
+        clips.append((i, bytearray(encode_wav(x, 16_000))))
+    wav_df = spark.createDataFrame(clips, "id long, media binary")
+    apairs = audio_near_pairs(wav_df, max_hamming=3).collect()
+    a_within = all(r["id_a"] % 5 == r["id_b"] % 5 for r in apairs)
+    rows.append(("audio_near_dup", len(apairs), len(apairs) == 30 and a_within))
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -2421,7 +2444,8 @@ FROM s JOIN gr USING (doc_id)""",
             "(SELECT LEAST(COUNT(*), 256) FROM documents), TRUE "
             "UNION ALL SELECT 'wav_features_analytic', (SELECT COUNT(*) FROM documents), TRUE "
             "UNION ALL SELECT 'png_luma_analytic', (SELECT COUNT(*) FROM documents), TRUE "
-            "UNION ALL SELECT 'image_near_dup', 30, TRUE"
+            "UNION ALL SELECT 'image_near_dup', 30, TRUE "
+            "UNION ALL SELECT 'audio_near_dup', 30, TRUE"
         ),
         # the transcripts table is generated in-session (not a registered
         # DuckDB view), so the oracle pins the deterministic generator's

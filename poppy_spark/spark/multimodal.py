@@ -361,6 +361,105 @@ def image_dhash(
     return df.select(id_col, media_col).mapInPandas(stage, out_schema)
 
 
+#: frames x bands grid of the audio fingerprint (9 frames -> 8 deltas, so
+#: 8 x 8 = 64 bits, one Spark LongType per clip)
+_AFP_FRAMES = 9
+_AFP_BANDS = 8
+
+
+def audio_fingerprint64(x: np.ndarray) -> int | None:
+    """Perceptual 64-bit audio fingerprint (a minimal chromaprint-style
+    scheme, dHash's audio analog): split the mono signal into 9 equal
+    frames, take 8 geometrically-spaced FFT band energies per frame, and
+    emit one bit per (band, frame-delta) — set iff the band's energy rose
+    between consecutive frames.
+
+    Comparisons are invariant under any positive gain (volume/loudness
+    re-encodes hash identically) and stable under small additive noise
+    (bits flip only where a band's energy delta changes sign); time
+    shifts/trims are NOT normalized — this is a near-duplicate signature,
+    not a retrieval fingerprint.  Returns None for clips shorter than
+    ``2 * _AFP_FRAMES`` samples."""
+    n = x.shape[0]
+    if n < 2 * _AFP_FRAMES:
+        return None
+    frame_len = n // _AFP_FRAMES
+    frames = x[: frame_len * _AFP_FRAMES].reshape(_AFP_FRAMES, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (frames, frame_len//2+1)
+    nb = spec.shape[1]
+    # geometric band edges over [1, nyquist] (bin 0 = DC excluded: constant
+    # offset is not perceptual content)
+    edges = np.unique(
+        np.round(np.geomspace(1, nb, _AFP_BANDS + 1)).astype(int)
+    )
+    while edges.size < _AFP_BANDS + 1:  # tiny frames: pad by splitting the top
+        edges = np.unique(np.append(edges, edges[-1] + 1))
+    e = np.zeros((_AFP_FRAMES, _AFP_BANDS))
+    for b in range(_AFP_BANDS):
+        e[:, b] = spec[:, edges[b] : max(edges[b + 1], edges[b] + 1)].sum(axis=1)
+    bits = (e[1:, :] > e[:-1, :]).flatten()  # (8 deltas x 8 bands)
+    v = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_afp(
+    df: DataFrame, id_col: str = "id", media_col: str = "media"
+) -> DataFrame:
+    """``(id, afp bigint)`` per decodable WAV row (RIFF magic; NULL,
+    non-audio and too-short rows are skipped) — the audio sibling of
+    :func:`image_dhash`, same bounded ``mapInPandas`` shape (audio bytes
+    never leave their partition; only 8-byte signatures shuffle)."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, buf in zip(pdf[id_col], pdf[media_col]):
+                if buf is None or bytes(buf[:4]) != b"RIFF":
+                    continue
+                try:
+                    x, _rate = decode_wav(bytes(buf))
+                except Exception:  # wave.Error / truncated payload
+                    continue
+                fp = audio_fingerprint64(x)
+                if fp is None:
+                    continue
+                ids.append(i)
+                fps.append(fp)
+            yield pd.DataFrame({"id": ids, "afp": fps})
+
+    return df.select(id_col, media_col).mapInPandas(stage, out_schema)
+
+
+def audio_near_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) perceptually near-duplicate audio pairs:
+    :func:`audio_afp` piped into the generic Hamming-banded
+    :func:`poppy_spark.spark.dedup.signature_near_pairs` join — the same
+    one join SimHash text and image dHash near-dup ride."""
+    from poppy_spark.spark.dedup import signature_near_pairs
+
+    fp = audio_afp(df, id_col=id_col, media_col=media_col)
+    return signature_near_pairs(
+        fp, "id", "afp", max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
 def extract_media_features(
     df: DataFrame, allow_fake: bool = True, batch_rows: int = 1024
 ) -> DataFrame:

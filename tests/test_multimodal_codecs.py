@@ -129,3 +129,63 @@ class TestSparkStages:
         assert got[2]["audio_zcr"] > got[1]["audio_zcr"]  # 1 kHz vs 100 Hz
         assert got[1]["audio_zcr"] == pytest.approx(2 * 100 / rate, rel=0.02)
         assert got[3]["audio_rms"] is None  # NULL passes through
+
+
+class TestAudioFingerprint:
+    def _tone(self, freq, rate=16_000, sec=0.5, amp=0.5, rng=None):
+        import math
+        t = np.arange(int(rate * sec)) / rate
+        x = amp * np.sin(2 * math.pi * freq * t)
+        if rng is not None:
+            x = x + rng.normal(0, 0.01, x.shape)
+        return np.clip(x, -1, 1)
+
+    def test_gain_invariance(self):
+        from poppy_spark.spark.multimodal import audio_fingerprint64
+        x = self._tone(440)
+        # positive gain rescales every band energy by the same factor:
+        # the delta-sign bits cannot move
+        assert audio_fingerprint64(x) == audio_fingerprint64(0.3 * x)
+
+    def test_noise_stays_near_tone_far(self):
+        from poppy_spark.spark.multimodal import audio_fingerprint64
+        rng = np.random.default_rng(5)
+        # a sweep has direction-ful band deltas (a steady tone's deltas sit
+        # at the noise floor); small additive noise flips at most a few bits
+        rate = 16_000
+        t = np.arange(rate // 2) / rate
+        sweep = 0.5 * np.sin(2 * np.pi * (200 + 4000 * t) * t)
+        a = audio_fingerprint64(sweep)
+        b = audio_fingerprint64(np.clip(sweep + rng.normal(0, 0.005, sweep.shape), -1, 1))
+        c = audio_fingerprint64(sweep[::-1].copy())  # reversed sweep: deltas invert
+        ham_ab = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        ham_ac = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+        assert ham_ab <= 6
+        assert ham_ac > 20
+
+    def test_short_clip_none(self):
+        from poppy_spark.spark.multimodal import audio_fingerprint64
+        assert audio_fingerprint64(np.zeros(5)) is None
+
+    def test_audio_near_pairs_spark(self, spark):
+        from poppy_spark.spark.multimodal import audio_near_pairs, encode_wav
+        rng = np.random.default_rng(9)
+        rate = 16_000
+        t = np.arange(rate // 2) / rate
+        sweep = 0.5 * np.sin(2 * np.pi * (200 + 4000 * t) * t)
+        near = np.clip(sweep + rng.normal(0, 0.005, sweep.shape), -1, 1)
+        other = 0.5 * np.sin(2 * np.pi * (4000 - 3800 * t) * t)
+        rows = [
+            (1, bytearray(encode_wav(sweep, rate))),
+            (2, bytearray(encode_wav(near, rate))),
+            (3, bytearray(encode_wav(other, rate))),
+            (4, None),
+            (5, bytearray(b"not a wav at all")),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, media binary")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in audio_near_pairs(df, max_hamming=6).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
