@@ -1880,6 +1880,37 @@ def q_runtime_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = q_transcripts_invariance(spark, sf_dir).collect()[0]
     rows.append(("transcripts_stable", 1, bool(r["stable"])))
+
+    # round-5 session 3: compression-ratio quality signal (CCNet/Dolma
+    # style) — boilerplate docs (one phrase repeated) must compress an
+    # order of magnitude better than natural corpus text; the gate checks
+    # hard separation (planted max < 0.05 << 0.3 < natural min over docs
+    # with >= 200 chars, where the zlib header is amortized)
+    from poppy_spark.spark.text import compression_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("lorem ipsum boilerplate " * 50),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cr = compression_ratio(planted, "text").filter(F.length("text") >= 200)
+    agg = cr.agg(
+        F.max(F.when(F.col("doc_id") % 2 == 0, F.col("comp_ratio"))).alias("rep_max"),
+        F.min(F.when(F.col("doc_id") % 2 != 0, F.col("comp_ratio"))).alias("nat_min"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    rows.append(
+        (
+            "compression_signal",
+            agg["n"],
+            agg["rep_max"] < 0.05 and agg["nat_min"] > 0.3,
+        )
+    )
     return spark.createDataFrame(rows, "chk string, n bigint, ok boolean")
 
 
@@ -2436,7 +2467,13 @@ FROM s JOIN gr USING (doc_id)""",
         ),
         "runtime_gates": (
             "SELECT 'streaming_fold' AS chk, 500 AS n, TRUE AS ok "
-            "UNION ALL SELECT 'transcripts_stable', 1, TRUE"
+            "UNION ALL SELECT 'transcripts_stable', 1, TRUE "
+            # compression_signal n: the deterministic doc_id < 200 slice,
+            # even ids planted with 1200-char boilerplate (always >= 200
+            # chars), odd ids keep natural text and its length filter
+            "UNION ALL SELECT 'compression_signal', "
+            "(SELECT COUNT(*) FROM documents WHERE doc_id < 200 "
+            "AND (doc_id % 2 = 0 OR length(text) >= 200)), TRUE"
         ),
         "multimodal_codecs": (
             "SELECT 'bmp_luma_analytic' AS chk, (SELECT COUNT(*) FROM documents) AS n, TRUE AS ok "

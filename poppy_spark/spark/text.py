@@ -548,3 +548,44 @@ def cap_per_domain(
 
     parts = url_parts(df, url_col)
     return grouped_bottom_k(parts, key_col, "url_domain", k, seed=seed)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    output_col: str = "comp_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Append ``output_col`` = zlib-compressed bytes / raw UTF-8 bytes — the
+    compression-ratio quality signal real corpus pipelines (CCNet, Dolma)
+    run beside Gopher rules: machine-generated/repetitive documents
+    compress an order of magnitude better than natural prose (measured on
+    the test corpus: boilerplate ~0.01 vs natural 0.40-1.0; short strings
+    can exceed 1.0 from the zlib header — callers threshold on the LOW
+    side).  NULL text stays NULL; empty text maps to NULL (no signal).
+
+    One Arrow-batched pandas UDF (zlib is C-speed per string), no shuffle —
+    a scan-speed projection at 100 TB like the other quality columns."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in 1..9, got {level}")
+
+    def ratio(s):
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    # real-type annotations: `from __future__ import annotations` stringifies
+    # inline ones, which pandas_udf rejects
+    ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(output_col, pandas_udf(ratio, "double")(F.col(text_col)))

@@ -833,3 +833,39 @@ class TestNormalizeIdempotence:
                 .count()
             )
             assert diff == 0, kw
+
+
+class TestCompressionRatio:
+    def test_separation_and_nulls(self, spark):
+        from poppy_spark.spark.text import compression_ratio
+
+        import random
+
+        rng = random.Random(31)
+        varied = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(rng.randint(3, 9)))
+            for _ in range(150)
+        )
+        rows = [
+            (1, "spam ham eggs " * 200),  # boilerplate: a phrase on repeat
+            (2, varied),                  # genuinely varied tokens
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, text string")
+        got = {r["id"]: r["comp_ratio"] for r in compression_ratio(df, "text").collect()}
+        assert got[1] < 0.05
+        assert got[2] > 0.05 and got[2] < 1.0
+        assert got[3] is None and got[4] is None
+
+    def test_deterministic_and_level_guard(self, spark):
+        import pytest as _pytest
+
+        from poppy_spark.spark.text import compression_ratio
+
+        df = spark.createDataFrame([(1, "hello world " * 50)], "id bigint, text string")
+        a = compression_ratio(df, "text").collect()[0]["comp_ratio"]
+        b = compression_ratio(df, "text").collect()[0]["comp_ratio"]
+        assert a == b
+        with _pytest.raises(ValueError):
+            compression_ratio(df, "text", level=0)
