@@ -751,15 +751,29 @@ class ShardedBloomStream:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def estimate_distinct_keys(
+    df: DataFrame, col: str, p: int = 14, int_keys: str = "string"
+) -> int:
+    """Distinct-key estimate for Bloom sizing: one states-only HLL pass over
+    the SAME canonicalized key expression the Bloom build hashes, so the
+    estimate counts exactly what the filter will insert.  Relative error is
+    ~``1.04 / sqrt(2^p)`` (~0.8% at the default p=14, 16 KB of state)."""
+    from poppy_spark.sketches import HllSketch
+    from poppy_spark.spark.agg import build_sketch
+
+    return int(build_sketch(df, col, HllSketch.factory(p), int_keys=int_keys).result())
+
+
 def build_sharded_bloom(
     df: DataFrame,
     col: str,
-    capacity: int,
+    capacity: int | str,
     fpp: float = 0.001,
     n_shards: int | None = None,
     target_shard_bytes: int = 64 << 20,
     persist: bool = True,
     int_keys: str = "string",
+    auto_headroom: float = 0.05,
 ) -> ShardedBloom:
     """Distributed build of a bucket-range-sharded poppy v2 filter.
 
@@ -768,8 +782,23 @@ def build_sharded_bloom(
     a 2 TB filter ~32k-way spread).  ``persist=True`` caches the shard
     states (they are the reusable product; recomputing them re-runs the
     whole build).
+
+    ``capacity="auto"`` sizes the filter from the data itself: one cheap
+    states-only HLL pass (:func:`estimate_distinct_keys`) estimates the
+    distinct-key count, padded by ``auto_headroom`` plus 3x the HLL's own
+    relative error — at 10^12 keys nobody knows the distinct count a
+    priori, and undersizing blows the FP bound while 2x oversizing wastes
+    half the cluster's filter memory.  Costs one extra scan of the key
+    column (shuffles only 16 KB HLL states).
     """
     from poppy_spark.spark.agg import _as_key, compress_blob
+
+    if capacity == "auto":
+        est = estimate_distinct_keys(df, col, int_keys=int_keys)
+        pad = auto_headroom + 3 * 1.04 / math.sqrt(2**14)
+        capacity = max(1024, math.ceil(est * (1.0 + pad)))
+    elif not isinstance(capacity, int):
+        raise TypeError(f"capacity must be an int or 'auto', got {capacity!r}")
 
     total_buckets = math.ceil(capacity / cap_from_bit_size(BUCKET_BITS, fpp))
     if n_shards is None:

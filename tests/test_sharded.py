@@ -547,3 +547,37 @@ class TestGroupedSharded:
             assert back.reassemble_group(gval) == gsb.reassemble_group(gval)
         probed = back.contains(ev.select("event_type", "user_id"), "user_id")
         assert probed.filter(~F.col("hit")).count() == 0
+
+
+class TestAutoCapacity:
+    def test_auto_sizes_from_hll_precount(self, spark):
+        from poppy_spark.spark.sharded import build_sharded_bloom, estimate_distinct_keys
+
+        n = 30_000
+        df = spark.range(n).select(
+            F.concat(F.lit("auto-key-"), F.col("id").cast("string")).alias("k")
+        )
+        # duplicates must not inflate the sizing
+        df = df.unionAll(df.limit(5000))
+        est = estimate_distinct_keys(df, "k")
+        assert abs(est - n) / n < 0.05
+        sb = build_sharded_bloom(df, "k", capacity="auto", fpp=0.01)
+        assert sb.params.capacity >= est  # headroom applied
+        assert sb.params.capacity < int(n * 1.5)
+        # zero FN on every inserted key; FP bound holds on absent keys
+        probe = spark.range(n).select(
+            F.concat(F.lit("auto-key-"), F.col("id").cast("string")).alias("k")
+        )
+        assert sb.contains(probe, "k", "hit").filter(~F.col("hit")).count() == 0
+        absent = spark.range(20_000).select(
+            F.concat(F.lit("missing-key-"), F.col("id").cast("string")).alias("k")
+        )
+        fp = sb.contains(absent, "k", "hit").filter(F.col("hit")).count()
+        assert fp / 20_000 < 0.02  # 2x the configured 0.01 bound
+
+    def test_capacity_type_guard(self, spark):
+        from poppy_spark.spark.sharded import build_sharded_bloom
+
+        df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+        with pytest.raises(TypeError):
+            build_sharded_bloom(df, "k", capacity=1.5)
