@@ -20,7 +20,12 @@ from .probe import (
     register_bloom_sql,
 )
 from .session import get_spark
-from .sharded import ShardedBloom, ShardedBloomStream, build_sharded_bloom
+from .sharded import (
+    ShardedBloom,
+    ShardedBloomStream,
+    build_sharded_bloom,
+    estimate_distinct_keys,
+)
 from .streaming import StreamingSketch, merge_grouped_states
 
 __all__ = [
@@ -39,6 +44,7 @@ __all__ = [
     "build_sketch",
     "build_sketch_df",
     "build_sketch_grouped",
+    "estimate_distinct_keys",
     "get_spark",
     "load_table",
     "merge_states_tree",
