@@ -181,6 +181,7 @@ class TestAudioFingerprint:
             (3, bytearray(encode_wav(other, rate))),
             (4, None),
             (5, bytearray(b"not a wav at all")),
+            (6, bytearray(b"RIFF\x10\x00\x00\x00WAVEtruncated-garbage")),
         ]
         df = spark.createDataFrame(rows, "id bigint, media binary")
         pairs = {
