@@ -371,7 +371,7 @@ def q_text_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte (``nfc_normalize`` + the identical RE2 chain), so this
     is a TRUE-value oracle over every cleaning stage at once — the exact
     normalize-then-dedup ordering a C4/RefinedWeb-style pipeline uses."""
-    from poppy_spark.spark.text import normalize_text, scrub_pii
+    from poppy_spark.spark.text import normalize_text, scrub_pii, strip_html
 
     docs = _read(spark, sf_dir, "documents")
     planted = docs.select(
@@ -386,9 +386,16 @@ def q_text_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.1.2.3")).otherwise(F.lit("")),
             F.when(F.col("doc_id") % 11 == 0, F.lit(" call 415-555-0199")).otherwise(F.lit("")),
             F.when(F.col("doc_id") % 13 == 0, F.lit(" ctl\x01\x7fend")).otherwise(F.lit("")),
+            # round-5 session 3: markup plant \u2014 strip_html runs FIRST,
+            # the real web-pipeline order (markup -> normalize -> scrub)
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit(" <p>click <b>here</b> &amp; enjoy</p><script>evil()</script>"),
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    cleaned = normalize_text(planted, "text", form="NFC")
+    stripped = strip_html(planted, "text")
+    cleaned = normalize_text(stripped, "text", form="NFC")
     return scrub_pii(cleaned, "text").select("doc_id", "text", "pii_found")
 
 
@@ -2823,14 +2830,19 @@ WITH planted AS (
          || CASE WHEN doc_id % 5 = 0 THEN ' contact bob.smith@corp.example.com' ELSE '' END
          || CASE WHEN doc_id % 7 = 0 THEN ' from 10.1.2.3' ELSE '' END
          || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0199' ELSE '' END
-         || CASE WHEN doc_id % 13 = 0 THEN ' ctl' || chr(1) || chr(127) || 'end' ELSE '' END AS text
+         || CASE WHEN doc_id % 13 = 0 THEN ' ctl' || chr(1) || chr(127) || 'end' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' <p>click <b>here</b> &amp; enjoy</p><script>evil()</script>' ELSE '' END AS text
   FROM documents
+), html AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '(?i)<(br|hr)\s*/?>|</(p|div|li|tr|h1|h2|h3|h4|h5|h6)\s*>', '
+', 'g'), '(?s)<[^>]*>', ' ', 'g'), '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'), '[ \t]+', ' ', 'g'), '^\s+|\s+$', '', 'g') AS text
+  FROM planted
 ), cleaned AS (
   SELECT doc_id,
     trim(regexp_replace(regexp_replace(nfc_normalize(text),
       '[\x00-\x08\x0b-\x1f\x7f-\x9f]', '', 'g'),
       '[ \t]+', ' ', 'g')) AS text
-  FROM planted
+  FROM html
 ), scrubbed AS (
   SELECT doc_id, text AS orig,
     regexp_replace(regexp_replace(regexp_replace(text,

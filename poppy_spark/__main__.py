@@ -272,9 +272,9 @@ def cmd_profile(args) -> int:
 
 def cmd_clean(args) -> int:
     """Beyond-reference: the composed corpus-cleaning pipeline (optional
-    Unicode normalize -> PII scrub -> corpus line dedup -> exact doc dedup
-    -> quality filter -> Gopher rules) parquet-in, parquet-out, with a
-    JSON summary line."""
+    HTML strip -> Unicode normalize -> PII scrub -> corpus line dedup ->
+    exact doc dedup -> quality filter -> Gopher rules) parquet-in,
+    parquet-out, with a JSON summary line."""
     import json
 
     from pyspark.sql import functions as F
@@ -288,11 +288,14 @@ def cmd_clean(args) -> int:
             normalize_text,
             quality_score,
             scrub_pii,
+            strip_html,
         )
 
         df = spark.read.parquet(args.table)
         n_in = df.count()
         cur = df.select(args.id_col, args.text_col)
+        if args.strip_html:
+            cur = strip_html(cur, args.text_col)
         if args.normalize:
             cur = normalize_text(cur, args.text_col, form=args.normalize)
         if args.scrub:
@@ -403,6 +406,9 @@ def main(argv=None) -> int:
     cl.add_argument("-j", "--jobs", type=int, default=4)
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--text-col", default="text")
+    cl.add_argument("--strip-html", action="store_true",
+                    help="remove markup first (script/style/comments/tags, "
+                    "common entities; block closers become newlines)")
     cl.add_argument("--normalize", default=None, metavar="FORM",
                     help="Unicode-normalize text first (NFC/NFKC/NFD/NFKD; "
                     "also strips control chars + collapses whitespace runs)")

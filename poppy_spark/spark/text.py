@@ -589,3 +589,64 @@ def compression_ratio(
     # inline ones, which pandas_udf rejects
     ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return df.withColumn(output_col, pandas_udf(ratio, "double")(F.col(text_col)))
+
+
+#: the HTML-strip regexp chain, applied in order.  Every pattern is valid
+#: and byte-equivalent in BOTH Java regex (Spark) and RE2 (DuckDB) — no
+#: lookaround, lazy quantifiers and inline (?is) flags only — so the
+#: oracle replays the identical chain (parity pinned by fixtures).
+HTML_STRIP_STEPS: tuple = (
+    (r"(?is)<(script|style)[^>]*>.*?</(script|style)\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(br|hr)\s*/?>|</(p|div|li|tr|h1|h2|h3|h4|h5|h6)\s*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t]+", " "),
+)
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str,
+    output_col: str | None = None,
+    full_entities: bool = False,
+) -> DataFrame:
+    """Markup removal — the step before every other text operator in a web
+    corpus pipeline: drop ``<script>``/``<style>`` payloads and comments,
+    turn block-closers and ``<br>`` into newlines (so line-level dedup
+    still sees document structure), strip remaining tags, decode the six
+    ubiquitous entities, and collapse space runs.
+
+    Pure codegen ``regexp_replace`` chain (:data:`HTML_STRIP_STEPS`) —
+    scan-speed, no shuffle, no Python — and byte-reproducible in DuckDB,
+    so it composes into TRUE-value oracles like the rest of the cleaning
+    pass.  ``full_entities=True`` adds one Arrow-batched pandas UDF
+    running stdlib ``html.unescape`` for the long tail of named/numeric
+    entities (Python-path; pytest-pinned, not SQL-replicable).  This is a
+    deliberately simple extractor (tags in attribute values or broken
+    markup can survive), not a DOM parser — the usual trade at corpus
+    scale."""
+    out = output_col or text_col
+    col = F.col(text_col)
+    for pat, rep in HTML_STRIP_STEPS:
+        col = F.regexp_replace(col, pat, rep)
+    # full-whitespace end-strip (F.trim strips spaces only; block-closer
+    # newlines would survive at the edges) — same pattern in both engines
+    col = F.regexp_replace(col, r"^\s+|\s+$", "")
+    if full_entities:
+        import html as _html
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def unesc(s):
+            return s.map(lambda t: None if t is None else _html.unescape(t))
+
+        unesc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        col = pandas_udf(unesc, "string")(col)
+    return df.withColumn(out, col)

@@ -869,3 +869,49 @@ class TestCompressionRatio:
         assert a == b
         with _pytest.raises(ValueError):
             compression_ratio(df, "text", level=0)
+
+
+class TestStripHtml:
+    FIXTURES = [
+        (
+            "<html><head><style>p{color:red}</style><script>var x=\"</div>\";</script></head>"
+            "<body><p>Hello &amp; welcome</p><div>line two</div><!-- hidden -->"
+            "<ul><li>a&nbsp;b</li></ul>tail &lt;tag&gt; &#39;q&#39; &quot;z&quot;</body></html>",
+            "Hello & welcome\n line two\n a b\n tail <tag> 'q' \"z\"",
+        ),
+        ("plain text stays", "plain text stays"),
+        ("a < b and a&b", "a < b and a&b"),
+        ("<P CLASS='x'>upper</P><BR>next", "upper\n\nnext"),
+    ]
+
+    def test_fixtures_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from poppy_spark.spark.text import HTML_STRIP_STEPS, strip_html
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.FIXTURES)] + [(99, None)],
+            "id int, text string",
+        )
+        got = {r["id"]: r["text"] for r in strip_html(df, "text").collect()}
+        for i, (_, want) in enumerate(self.FIXTURES):
+            assert got[i] == want, (i, got[i])
+        assert got[99] is None
+        # the SAME chain replayed in DuckDB RE2 is byte-identical
+        con = duckdb.connect()
+        for i, (src, want) in enumerate(self.FIXTURES):
+            d = src
+            for p, r in HTML_STRIP_STEPS:
+                d = con.execute(
+                    "SELECT regexp_replace(?, ?, ?, 'g')", [d, p, r]
+                ).fetchone()[0]
+            assert d.strip() == want
+
+    def test_full_entities(self, spark):
+        from poppy_spark.spark.text import strip_html
+
+        df = spark.createDataFrame(
+            [(1, "<p>caf&eacute; &#8212; &copy; 2026</p>")], "id int, text string"
+        )
+        got = strip_html(df, "text", full_entities=True).collect()[0]["text"]
+        assert got == "café — © 2026"
