@@ -137,18 +137,15 @@ def remove_contaminated_spans(
     the content-determined winnowing rule of ``spans._span_keys`` to BOTH
     sides, so thinning never misaligns them.
     """
-    from poppy_spark.spark.spans import _span_keys
+    from poppy_spark.spark.spans import _span_tuples
 
     out = output_col or text_col
     ev = (
-        eval_df.select(F.explode(_span_keys(text_col, span_words, stride)).alias("s"))
-        .select(F.col("s.key").alias("__key"))
+        _span_tuples(eval_df, text_col, F.lit(0), span_words, stride)
+        .select("__key")
         .distinct()
     )
-    spans = train_df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_span_keys(text_col, span_words, stride)).alias("s"),
-    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+    spans = _span_tuples(train_df, text_col, id_col, span_words, stride)
     if prefilter:
         n_ev = ev.count()
         filt = build_sketch(ev, "__key", BloomSketch.factory(max(n_ev, 1), fpp))

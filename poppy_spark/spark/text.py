@@ -315,15 +315,26 @@ def gopher_quality_filters(
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word ``n``-grams of the lowercased text (empty
-    when the text has fewer than ``n`` words).  Pure array expression."""
+    when the text has fewer than ``n`` words).  Pure array expression.
+
+    Built as a ``zip_with`` chain over ``n`` shifted slices rather than a
+    ``transform`` whose lambda slices the word array: higher-order
+    functions are interpreted (CodegenFallback) and re-evaluate
+    non-attribute outer expressions per element, so the old
+    slice-inside-lambda form re-tokenized the text once per gram —
+    O(n_words x |text|) regex work per document.  ``zip_with`` arguments
+    are evaluated once per row, so this form is O(n x |text|)."""
     words = _words(text)
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.slice(words, 1, F.size(words) - n + 1),
-            lambda _, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = F.slice(words, 1, F.size(words) - n + 1)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, 1 + j, F.size(words) - n + 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(words) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def repetition_stats(
