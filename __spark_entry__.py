@@ -1505,10 +1505,14 @@ def q_lsh_hot_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_grouped_hc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-cardinality grouped build: one Bloom per ORDER (~15k groups at
-    sf0.01) under a deliberately tiny flush budget, so phase-1 tasks hold at
-    most ~60 live states regardless of group cardinality (round-3
-    flush-on-budget); probed through the cogrouped shuffle join — every
-    (order, part) row must hit its own group's filter."""
+    sf0.01), probed through the single-shuffle sorted segment join — every
+    (order, part) row must hit its own group's filter.  The flush budget
+    stays at the production default so the row measures the operator
+    (round-5 verdict #6: the former 256 KiB stress knob multiplied partial
+    rows ~4x into the merge; flush-on-budget itself stays pinned by the
+    small-budget pytest stress tests).  The final merged state per group is
+    budget-invariant (Bloom OR is associative/commutative), so the result
+    is unchanged."""
     from poppy_spark.sketches import BloomSketch
     from poppy_spark.spark.agg import build_sketch_grouped
     from poppy_spark.spark.probe import bloom_contains_grouped_join
@@ -1519,7 +1523,8 @@ def q_grouped_hc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         ["l_orderkey"],
         BloomSketch.factory(16, 0.01),  # <= 7 parts per order in TPC-H data
-        max_task_state_bytes=256 * 1024,
+        shuffle="rows",  # high-cardinality shape: one narrow-row shuffle,
+        # no per-(partition, group) partial states (round-6 rework)
     ).persist()
     n_groups = states.count()
     hits = bloom_contains_grouped_join(li, "l_partkey", "l_orderkey", states)

@@ -71,6 +71,18 @@ class BloomFilter:
     def insert_packed(self, mat, lens) -> np.ndarray:
         return self._inner.insert_packed(mat, lens)
 
+    def route_packed(self, mat, lens):
+        """Hash-once routing (v2 only); see BloomV2.route_packed."""
+        return self._inner.route_packed(mat, lens)
+
+    def or_routed(self, ibucket, idx, bucket_hash) -> None:
+        """OR-only scatter of pre-routed rows (v2 only); see BloomV2.or_routed."""
+        self._inner.or_routed(ibucket, idx, bucket_hash)
+
+    def contains_routed(self, ibucket, idx, bucket_hash) -> np.ndarray:
+        """Membership of pre-routed rows (v2 only); see BloomV2.contains_routed."""
+        return self._inner.contains_routed(ibucket, idx, bucket_hash)
+
     def insert_packed_bulk(self, mat, lens) -> None:
         """OR-only bulk insert (no newness tracking / count update) — the
         distributed partial-build path; see BloomV2.insert_packed_bulk."""

@@ -162,6 +162,42 @@ class BloomV2:
             bucket_hash,
         )
 
+    def route_packed(self, mat: np.ndarray, lens: np.ndarray):
+        """Hash-once routing for a packed batch: ``(ibucket, idx,
+        bucket_hash)``.  Every filter built with the same params routes a
+        key identically, so a grouped build can route one BATCH once and
+        scatter per-group row slices into each group's filter with
+        :meth:`or_routed` — the per-group cost drops from a full
+        pack+hash+scatter call to one numpy scatter."""
+        return self._route(mat, lens)
+
+    def or_routed(self, ibucket, idx, bucket_hash) -> None:
+        """OR-only scatter of pre-routed rows (see :meth:`route_packed`);
+        the slice-wise counterpart of :meth:`insert_packed_bulk`, with the
+        same discard-the-count semantics (merge re-estimates)."""
+        if self.capacity == 0 and len(ibucket) > 0:
+            raise TooManyEntries("too many entries, false positive rate cannot be met")
+        sk.v2_or_batch(
+            self.buckets,
+            self.cache if self.cache.size else None,
+            ibucket,
+            idx,
+            bucket_hash,
+        )
+
+    def contains_routed(self, ibucket, idx, bucket_hash) -> np.ndarray:
+        """Membership for pre-routed rows (see :meth:`route_packed`): the
+        grouped probe routes one batch once and tests each group's slice
+        against that group's filter — same-params filters share routing."""
+        return sk.v2_contains_batch(
+            self.buckets,
+            self.cache if self.cache.size else None,
+            ibucket,
+            idx,
+            bucket_hash,
+            self.capacity,
+        )
+
     def insert_batch(self, keys) -> np.ndarray:
         return self.insert_packed(*hk.pack_keys(keys))
 

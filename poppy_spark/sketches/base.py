@@ -62,6 +62,20 @@ class Sketch(abc.ABC):
         must override with their dense size."""
         return len(self.dumps())
 
+    def batch_context(self, arr):
+        """Optional hash-once context over a whole Arrow batch for the
+        grouped-build fast path: when a sketch can precompute its routing
+        (hash indexes) for a batch ONCE and absorb per-group row slices
+        via :meth:`update_slice`, return an opaque context here.  Default
+        ``None`` = no fast path; the grouped build falls back to
+        :meth:`update_arrow` on per-group slices.  Every sketch produced
+        by one factory must route identically (same params)."""
+        return None
+
+    def update_slice(self, ctx, lo: int, hi: int) -> None:
+        """Absorb rows ``[lo, hi)`` of a :meth:`batch_context` batch."""
+        raise NotImplementedError
+
     def finalize_merge(self) -> None:
         """Normalize state after a distributed merge so the final bytes do not
         depend on the partition count (e.g. Bloom re-estimates its count field

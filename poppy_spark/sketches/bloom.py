@@ -65,6 +65,22 @@ class BloomSketch(Sketch):
     def update_keys(self, keys) -> None:
         self.filter.insert_batch(keys)
 
+    def batch_context(self, arr):
+        """Hash-once grouped-build fast path (v2 only): route the whole
+        batch through pack+wyhash+index ONCE; per-group updates are then a
+        numpy scatter of pre-routed row slices (``update_slice``) instead
+        of a full pack+hash call per group — the difference between ~120us
+        and ~10us per group in a high-cardinality build."""
+        if getattr(self.filter, "version", 2) != 2:
+            return None
+        self._check_int_mode()
+        mat, lens = arrow_to_text_batch(arr, self.int_keys)
+        return self.filter.route_packed(mat, lens)
+
+    def update_slice(self, ctx, lo: int, hi: int) -> None:
+        ibucket, idx, bucket_hash = ctx
+        self.filter.or_routed(ibucket[lo:hi], idx[lo:hi], bucket_hash[lo:hi])
+
     def contains_arrow(self, arr) -> np.ndarray:
         self._check_int_mode()
         mat, lens = arrow_to_text_batch(arr, self.int_keys)

@@ -414,19 +414,36 @@ def build_sketch_grouped(
     int_keys: str = "string",
     max_task_state_bytes: int = 512 << 20,
     repartition: int | None = None,
+    shuffle: str = "states",
 ) -> DataFrame:
     """One merged sketch per group: ``(group..., state binary, n_rows)``.
 
-    Phase 1 (map-side combine): each input partition emits one partial state
-    per group it saw.  Phase 2: shuffle *states* by group key and merge.
+    ``shuffle`` picks the physical shape (the grouped analog of
+    ``build_sketch_df``'s strategy knob):
+
+    * ``"states"`` (default) — phase 1 (map-side combine): each input
+      partition emits one partial state per group it saw; phase 2 shuffles
+      *states* by group key and segment-folds them.  Right when groups are
+      few or skewed: a hot key costs one partial per partition, never one
+      task.
+    * ``"rows"`` — repartition the ``(group, key)`` tuples by group, sort
+      within partitions, and build each group's FINALIZED sketch in one
+      segment-fold pass: ONE shuffle of narrow rows, no partial states at
+      all, task memory = one live sketch.  Right for HIGH-cardinality
+      groups (round-5 sf1 finding: with ~4-row groups scattered over every
+      partition, the states shape degenerates to one partial per ROW —
+      5.8M state blobs through two Python passes for 1.5M groups).  A hot
+      group's rows serialize into one task (time bounded by that group's
+      size; memory stays O(1)) — keep ``"states"`` for skewed keys.
 
     Task memory is BOUNDED regardless of group cardinality (round-2 verdict
-    item): whenever a task's live states exceed ``max_task_state_bytes``
-    (estimated as groups-seen x one state's serialized size), the dict is
-    flushed as partial rows and cleared — phase 2 merges per group anyway,
-    so multiple partials per (partition, group) are free.  High-cardinality
-    group keys therefore cost extra merge rows, never worker memory.  For
-    per-group filters individually too large for one task, use
+    item): whenever a ``"states"`` task's live states exceed
+    ``max_task_state_bytes`` (estimated as groups-seen x one state's
+    serialized size), the dict is flushed as partial rows and cleared —
+    phase 2 merges per group anyway, so multiple partials per (partition,
+    group) are free.  High-cardinality group keys therefore cost extra
+    merge rows, never worker memory.  For per-group filters individually
+    too large for one task, use
     :func:`poppy_spark.spark.sharded.build_sharded_bloom_grouped` — one
     bucket-range-sharded filter per group, task memory = one shard.
 
@@ -436,6 +453,8 @@ def build_sketch_grouped(
     cores is spread round-robin first — extra partials per group, which
     phase 2 absorbs.  Pass an explicit ``repartition`` to pin it.
     """
+    if shuffle not in ("states", "rows"):
+        raise ValueError(f"unknown shuffle shape {shuffle!r}")
     group_cols = list(group_cols)
     sel = df.select(*group_cols, _key_expr(df, col, factory, int_keys).alias("__key__"))
     n_parts = sel.rdd.getNumPartitions()
@@ -450,52 +469,186 @@ def build_sketch_grouped(
 
     arrow_schema = to_arrow_schema(out_schema)
 
+    n_group_cols = len(group_cols)
+
+    if shuffle == "rows":
+        # single-shuffle shape: co-locate each group's rows, sort them
+        # contiguous, and fold finalized states directly — no partials
+        rows2 = sel.repartition(*[F.col(c) for c in group_cols]).sortWithinPartitions(
+            *group_cols
+        )
+
+        def build_sorted(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            unset = object()
+            nan_key = ("__nan__",)  # python NaN != NaN; Spark groups NaN equal
+
+            def normg(v):
+                return nan_key if isinstance(v, float) and v != v else v
+
+            template = factory()
+            template.int_keys = int_keys
+            cur_key = unset
+            cur_vals: tuple = ()
+            cur_sk = None
+            cur_n = 0
+            out_groups: list = []
+            out_states: list = []
+            out_n: list = []
+
+            def close_group():
+                nonlocal cur_sk, cur_n
+                cur_sk.finalize_merge()
+                out_groups.append(cur_vals)
+                out_states.append(cur_sk.dumps())
+                out_n.append(cur_n)
+                cur_sk, cur_n = None, 0
+
+            def drain():
+                cols = [
+                    pa.array(
+                        [g[i] for g in out_groups], type=arrow_schema.field(i).type
+                    )
+                    for i in range(n_group_cols)
+                ]
+                cols.append(pa.array(out_states, type=pa.binary()))
+                cols.append(pa.array(out_n, type=pa.int64()))
+                batch = pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+                out_groups.clear()
+                out_states.clear()
+                out_n.clear()
+                return batch
+
+            for b in batches:
+                n = b.num_rows
+                if not n:
+                    continue
+                key_col = b.column(n_group_cols)
+                gcols_py = [b.column(i).to_pylist() for i in range(n_group_cols)]
+                ctx = template.batch_context(key_col)
+                r = 0
+                while r < n:
+                    key = (
+                        normg(gcols_py[0][r])
+                        if n_group_cols == 1
+                        else tuple(normg(col[r]) for col in gcols_py)
+                    )
+                    r2 = r + 1
+                    while r2 < n and all(
+                        normg(col[r2]) == normg(col[r]) for col in gcols_py
+                    ):
+                        r2 += 1
+                    if key != cur_key:
+                        if cur_sk is not None:
+                            close_group()
+                        cur_key = key
+                        cur_vals = tuple(col[r] for col in gcols_py)
+                    if cur_sk is None:
+                        cur_sk = factory()
+                        cur_sk.int_keys = int_keys
+                    if ctx is not None:
+                        cur_sk.update_slice(ctx, r, r2)
+                    else:
+                        cur_sk.update_arrow(key_col.slice(r, r2 - r))
+                    cur_n += r2 - r
+                    r = r2
+                if len(out_groups) >= 1024:
+                    yield drain()
+            if cur_sk is not None:
+                close_group()
+            if out_groups:
+                yield drain()
+
+        return rows2.mapInArrow(build_sorted, out_schema)
+
     def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Per-batch shape (round-6 rework, guide §4.2): sort the batch by
+        # the group key once (Arrow C++), so each group's rows are a
+        # CONTIGUOUS slice — per-group work is then a dict probe plus either
+        # a pre-routed numpy scatter (``batch_context``/``update_slice``,
+        # sketches that can hash the whole batch once) or an
+        # ``update_arrow`` on a zero-copy slice.  The former pandas
+        # ``groupby().indices`` + per-group ``take`` + ``iloc`` shape cost
+        # ~360us per (partition, group) — 63% of the sf1 suite wall on the
+        # high-cardinality row.
+        import pyarrow.compute as pc
+
         states: dict = {}
-        group_arrays: dict = {}
+        group_vals: dict = {}
         state_bytes_est = 0  # serialized size of ONE empty state, set lazily
+        template = factory()
+        template.int_keys = int_keys
+        sort_keys = [(c, "ascending") for c in group_cols]
 
         def flush():
-            rows = {c: [] for c in group_cols}
-            st, nr = [], []
-            for gkey, (sk, n) in states.items():
-                gvals = group_arrays[gkey]
-                for c in group_cols:
-                    rows[c].append(gvals[c])
-                st.append(_z_dumps(sk))
-                nr.append(n)
-            out = pd.DataFrame(rows)
-            out["state"] = st
-            out["n_rows"] = nr
+            items = list(states.items())
+            arrs = [
+                pa.array(
+                    [group_vals[k][i] for k, _ in items],
+                    type=arrow_schema.field(i).type,
+                )
+                for i in range(n_group_cols)
+            ]
+            arrs.append(
+                pa.array([_z_dumps(ent[0]) for _, ent in items], type=pa.binary())
+            )
+            arrs.append(pa.array([ent[1] for _, ent in items], type=pa.int64()))
             states.clear()
-            group_arrays.clear()
-            return pa.Table.from_pandas(
-                out, schema=arrow_schema, preserve_index=False
-            ).to_batches()
+            group_vals.clear()
+            return [pa.RecordBatch.from_arrays(arrs, schema=arrow_schema)]
 
         for batch in batches:
-            gcols = batch.select(group_cols)
-            key_col = batch.column(len(group_cols))
-            gpdf = gcols.to_pandas()
-            if len(group_cols) == 1:
-                grouped = gpdf.groupby(group_cols[0], dropna=False, sort=False)
+            n = batch.num_rows
+            if not n:
+                continue
+            sb = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+            key_col = sb.column(n_group_cols)
+            gcols_py = [sb.column(i).to_pylist() for i in range(n_group_cols)]
+            ctx = template.batch_context(key_col)
+            r = 0
+            if n_group_cols == 1:
+                g0 = gcols_py[0]
+                while r < n:
+                    gkey = g0[r]
+                    r2 = r + 1
+                    while r2 < n and g0[r2] == gkey:
+                        r2 += 1
+                    ent = states.get(gkey)
+                    if ent is None:
+                        sk_new = factory()
+                        sk_new.int_keys = int_keys
+                        if not state_bytes_est:
+                            # in-memory bound, NOT len(dumps()): sketches
+                            # with a compact serialized form (sparse HLL)
+                            # still cost their dense size once updated
+                            state_bytes_est = max(sk_new.memory_bound_bytes(), 1)
+                        ent = states[gkey] = [sk_new, 0]
+                        group_vals[gkey] = (gkey,)
+                    if ctx is not None:
+                        ent[0].update_slice(ctx, r, r2)
+                    else:
+                        ent[0].update_arrow(key_col.slice(r, r2 - r))
+                    ent[1] += r2 - r
+                    r = r2
             else:
-                grouped = gpdf.groupby(group_cols, dropna=False, sort=False)
-            for gkey, positions in grouped.indices.items():
-                ent = states.get(gkey)
-                if ent is None:
-                    sk_new = factory()
-                    sk_new.int_keys = int_keys
-                    if not state_bytes_est:
-                        # in-memory bound, NOT len(dumps()): sketches with a
-                        # compact serialized form (sparse HLL) still cost
-                        # their dense size per group once updated
-                        state_bytes_est = max(sk_new.memory_bound_bytes(), 1)
-                    ent = states[gkey] = [sk_new, 0]
-                    group_arrays[gkey] = gpdf.iloc[positions[0]][group_cols]
-                sub = key_col.take(pa.array(positions))
-                ent[0].update_arrow(sub)
-                ent[1] += len(positions)
+                while r < n:
+                    gkey = tuple(col[r] for col in gcols_py)
+                    r2 = r + 1
+                    while r2 < n and all(col[r2] == col[r] for col in gcols_py):
+                        r2 += 1
+                    ent = states.get(gkey)
+                    if ent is None:
+                        sk_new = factory()
+                        sk_new.int_keys = int_keys
+                        if not state_bytes_est:
+                            state_bytes_est = max(sk_new.memory_bound_bytes(), 1)
+                        ent = states[gkey] = [sk_new, 0]
+                        group_vals[gkey] = gkey
+                    if ctx is not None:
+                        ent[0].update_slice(ctx, r, r2)
+                    else:
+                        ent[0].update_arrow(key_col.slice(r, r2 - r))
+                    ent[1] += r2 - r
+                    r = r2
             if states:
                 # re-estimate from a LIVE sketch each batch: bounds that
                 # depend on observed data (TopK key sizes) grow after the
@@ -509,22 +662,86 @@ def build_sketch_grouped(
 
     partials = sel.mapInArrow(update, out_schema)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        cls = type(factory())
-        sk = None
-        for raw in pdf["state"]:
-            part = _z_loads(cls, raw)
-            if sk is None:
-                sk = part
-            else:
-                sk.merge(part)
-        sk.finalize_merge()
-        head = pdf.iloc[[0]].copy()
-        head["state"] = [sk.dumps()]
-        head["n_rows"] = [int(pdf["n_rows"].sum())]
-        return head
+    # Phase 2: merge partials per group.  NOT groupBy().applyInPandas — that
+    # invokes the Python merge function once per group (round-5 sf1 finding:
+    # ~1.5M few-row invocations = the per-row-Python anti-pattern at group
+    # granularity, 63% of the suite's wall).  Instead shuffle the partials by
+    # group, sort within partitions so each group's rows are contiguous, and
+    # fold segments in ONE mapInArrow pass — thousands of groups per Python
+    # call.  Merge order within a group stays arbitrary exactly as the
+    # cogrouped shape's was (shuffle arrival order); all sketches either
+    # merge order-invariantly (Bloom/HLL/CMS/MinHash/Theta) or are gated by
+    # rank-bound oracles (KLL/t-digest).
+    part2 = partials.repartition(*[F.col(c) for c in group_cols]).sortWithinPartitions(
+        *group_cols
+    )
+    n_group_cols = len(group_cols)
+    cls = type(factory())
 
-    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+    def merge_sorted(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        unset = object()
+        nan_key = ("__nan__",)  # python NaN != NaN; Spark groups NaN as equal
+
+        def normg(v):
+            return nan_key if isinstance(v, float) and v != v else v
+
+        cur_key = unset
+        cur_vals: tuple = ()
+        cur_sk = None
+        cur_n = 0
+        out_groups: list = []
+        out_states: list = []
+        out_n: list = []
+
+        def close_group():
+            nonlocal cur_sk, cur_n
+            cur_sk.finalize_merge()
+            out_groups.append(cur_vals)
+            out_states.append(cur_sk.dumps())
+            out_n.append(cur_n)
+            cur_sk, cur_n = None, 0
+
+        def drain():
+            cols = []
+            for i in range(n_group_cols):
+                cols.append(
+                    pa.array([g[i] for g in out_groups], type=arrow_schema.field(i).type)
+                )
+            cols.append(pa.array(out_states, type=pa.binary()))
+            cols.append(pa.array(out_n, type=pa.int64()))
+            batch = pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+            out_groups.clear()
+            out_states.clear()
+            out_n.clear()
+            return batch
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            gcols_py = [b.column(i).to_pylist() for i in range(n_group_cols)]
+            states_col = b.column(n_group_cols)
+            nrows_col = b.column(n_group_cols + 1).to_pylist()
+            for r in range(b.num_rows):
+                key = tuple(normg(col[r]) for col in gcols_py)
+                if key != cur_key:
+                    if cur_sk is not None:
+                        close_group()
+                    cur_key = key
+                    cur_vals = tuple(col[r] for col in gcols_py)
+                part = _z_loads(cls, states_col[r].as_py())
+                if cur_sk is None:
+                    cur_sk = part
+                else:
+                    cur_sk.merge(part)
+                cur_n += int(nrows_col[r])
+            if len(out_groups) >= 1024:
+                yield drain()
+        if cur_sk is not None:
+            close_group()
+        if out_groups:
+            yield drain()
+
+    return part2.mapInArrow(merge_sorted, out_schema)
 
 
 def sketch_value_column(

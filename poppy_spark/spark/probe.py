@@ -239,52 +239,125 @@ def bloom_contains_grouped_join(
     output_col: str = "hit",
 ) -> DataFrame:
     """Per-group membership for HIGH-cardinality groups (e.g. ``conv_id``):
-    a cogrouped shuffle join instead of a broadcast dict.
+    a single group-keyed shuffle instead of a broadcast dict.
 
-    Probe rows and group states shuffle on the group key; each group's
-    filter crosses the wire exactly once and meets only its own rows, so
-    nothing scales with (n_groups x executors) the way a broadcast would.
-    Rows whose group has no state probe False.  Output = ``df`` columns +
+    States and probe rows union into one stream tagged ``state-first``,
+    shuffle ONCE on the group key, and sort within partitions so each
+    group's state row immediately precedes its probe rows; one
+    ``mapInArrow`` pass then probes segment-by-segment — thousands of
+    groups per Python invocation.  This replaces the round-5 shape
+    (``cogroup().applyInPandas`` = one Python call PER GROUP — the
+    per-row-Python anti-pattern at group granularity, 599 s at sf1 — plus
+    a full-input ``localCheckpoint`` pinning a ``monotonically_increasing_
+    id`` for the join-back).  Rows ride the shuffle as columns and come
+    back with ``output_col`` appended (the ``ShardedBloom.contains(carry=
+    "columns")`` shape), so there is no row id, no materialization, and no
+    join-back; each group's filter crosses the wire exactly once.  Rows
+    whose group has no state probe False.  Output = ``df`` columns +
     ``output_col``.
-
-    The input is pinned once via ``localCheckpoint`` before the row id is
-    assigned: the id is ``monotonically_increasing_id`` and feeds both the
-    probe side and the join-back, so without materialization a
-    re-evaluation (task retry, AQE re-plan, nondeterministic source order)
-    could attach hits to the wrong rows.
     """
+    import pyspark.sql.types as T
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     from poppy_spark.spark.agg import _as_key
 
     gname = states_df.columns[0] if group_col not in states_df.columns else group_col
-    states = states_df.select(F.col(gname).alias("__g"), "state")
-    keyed = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
-        eager=False
+    in_cols = list(df.columns)
+    key_expr = _as_key(df, col)
+    ktype = df.select(key_expr.alias("__k")).schema[0].dataType
+    probe_side = df.select(
+        F.col(group_col).alias("__pgj_g"),
+        F.lit(1).cast("int").alias("__pgj_tag"),
+        key_expr.alias("__pgj_key"),
+        F.lit(None).cast("binary").alias("__pgj_state"),
+        *[F.col(c) for c in in_cols],
     )
-    probes = keyed.select(
-        "__rid", F.col(group_col).alias("__g"), _as_key(keyed, col).alias("__key")
+    state_side = states_df.select(
+        F.col(gname).alias("__pgj_g"),
+        F.lit(0).cast("int").alias("__pgj_tag"),
+        F.lit(None).cast(ktype).alias("__pgj_key"),
+        F.col("state").alias("__pgj_state"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields],
     )
+    u = (
+        probe_side.unionByName(state_side)
+        .repartition(F.col("__pgj_g"))
+        .sortWithinPartitions("__pgj_g", "__pgj_tag")
+    )
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(output_col, T.BooleanType())]
+    )
+    arrow_out = to_arrow_schema(out_schema)
+    n_meta = 4
 
-    def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame(
-                {"__rid": pd.Series(dtype="int64"), "hit": pd.Series(dtype="bool")}
-            )
-        if right.empty:
-            return pd.DataFrame({"__rid": left["__rid"], "hit": False})
+    def probe_fn(batches):
         from poppy_spark.core import loads
         from poppy_spark.core.hashkern import pack_arrow
 
-        f = loads(bytes(right["state"].iloc[0]))
-        mat, lens = pack_arrow(pa.Array.from_pandas(left["__key"]))
-        return pd.DataFrame({"__rid": left["__rid"], "hit": f.contains_packed(mat, lens)})
+        unset = object()
+        nan_key = ("__nan__",)  # python NaN != NaN; Spark groups NaN as equal
 
-    hits = (
-        probes.groupBy("__g")
-        .cogroup(states.groupBy("__g"))
-        .applyInPandas(check, "__rid bigint, hit boolean")
-    )
-    return (
-        keyed.join(hits, "__rid")
-        .withColumnRenamed("hit", output_col)
-        .drop("__rid")
-    )
+        def normg(v):
+            return nan_key if isinstance(v, float) and v != v else v
+
+        cur_g = unset
+        cur_f = None
+        cur_has_state = False
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            gs = [normg(v) for v in b.column(0).to_pylist()]
+            tags = b.column(1).to_numpy(zero_copy_only=False)
+            states_col = b.column(3)
+            probe_pos = np.flatnonzero(tags == 1)
+            hit = np.zeros(probe_pos.size, dtype=bool)
+            route = None  # (template_filter, ibucket, idx, bucket_hash)
+            if probe_pos.size:
+                mat, lens = pack_arrow(b.column(2).take(pa.array(probe_pos)))
+            # segment scan: state rows (tag 0) sort before their group's
+            # probe rows; pi walks the probe-row subarray in step
+            pi = 0
+            r = 0
+            while r < n:
+                if gs[r] != cur_g:
+                    cur_g = gs[r]
+                    cur_f, cur_has_state = None, False
+                if tags[r] == 0:
+                    if not cur_has_state:  # first state row wins, as before
+                        cur_f = loads(bytes(states_col[r].as_py()))
+                        cur_has_state = True
+                    r += 1
+                else:
+                    # consume the whole run of probe rows sharing this group
+                    r2 = r + 1
+                    while r2 < n and tags[r2] == 1 and gs[r2] == cur_g:
+                        r2 += 1
+                    pi2 = pi + (r2 - r)
+                    if cur_f is not None:
+                        sel = slice(pi, pi2)
+                        # route the batch ONCE (same-params filters share
+                        # hashing) and test each group's slice against its
+                        # own filter: ~7x cheaper than a full
+                        # pack+hash+test per segment
+                        if (
+                            route is None
+                            and getattr(cur_f, "version", None) == 2
+                        ):
+                            route = (cur_f, *cur_f.route_packed(mat, lens))
+                        if route is not None and route[0].has_same_params(cur_f):
+                            hit[sel] = cur_f.contains_routed(
+                                route[1][sel], route[2][sel], route[3][sel]
+                            )
+                        else:
+                            hit[sel] = cur_f.contains_packed(mat[sel], lens[sel])
+                    pi = pi2
+                    r = r2
+            if probe_pos.size:
+                take = pa.array(probe_pos)
+                cols = [b.column(n_meta + i).take(take) for i in range(len(in_cols))]
+                cols.append(pa.array(hit))
+                yield pa.RecordBatch.from_arrays(cols, schema=arrow_out)
+
+    return u.mapInArrow(probe_fn, out_schema)
