@@ -321,8 +321,15 @@ class ShardedBloom:
         self, df: DataFrame, col: str, output_col: str, salt: int, int_keys: str
     ) -> DataFrame:
         """Single-shuffle probe: rows ride the cogroup as Arrow end-to-end
-        (``applyInArrow``), hit appended in place — no join-back."""
-        import pyspark.sql.types as T
+        (``applyInArrow``), hit appended in place — no join-back.
+
+        Routing is a scalar Arrow UDF over ONLY the key column (guide §4.1:
+        pass just what the function needs): the payload columns never cross
+        the Python boundary during routing — they stay in the JVM row and
+        ride the shard shuffle directly.  The former ``mapInArrow`` route
+        serialized every column to Python and back once before the shuffle
+        (~1.5x the whole probe on the 11-column bench table)."""
+        import pyspark.sql.types as T  # noqa: F401  (schema strings below)
 
         from poppy_spark.spark.agg import _as_key, decompress_blob
 
@@ -331,26 +338,59 @@ class ShardedBloom:
         in_cols = list(df.columns)
         keyed = df.select("*", _as_key(df, col, int_keys).alias("__key"))
 
-        def index_fn(batches):
-            for b in batches:
-                shard, ib, idx, _ = _route_batch(
-                    b.column(b.num_columns - 1), p, dedup=False, int_mode=int_mode
-                )
-                cols = [b.column(i) for i in range(b.num_columns - 1)]
-                yield pa.RecordBatch.from_arrays(
-                    cols + [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
-                    in_cols + ["__shard_id", "__ib", "__idx"],
+        try:
+            from pyspark.sql.functions import arrow_udf
+        except ImportError:
+            arrow_udf = None
+
+        if arrow_udf is not None:
+
+            def route1(keys):
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
+                shard, ib, idx, _ = _route_batch(keys, p, dedup=False, int_mode=int_mode)
+                return pa.StructArray.from_arrays(
+                    [
+                        pa.array(shard, type=pa.int32()),
+                        pa.array(ib, type=pa.int64()),
+                        _idx_to_binary(idx),
+                    ],
+                    ["s", "ib", "idx"],
                 )
 
-        route_schema = T.StructType(
-            list(df.schema.fields)
-            + [
-                T.StructField("__shard_id", T.IntegerType()),
-                T.StructField("__ib", T.LongType()),
-                T.StructField("__idx", T.BinaryType()),
-            ]
-        )
-        tuples = keyed.mapInArrow(index_fn, route_schema)
+            route1.__annotations__ = {"keys": pa.Array, "return": pa.Array}
+            udf = arrow_udf(route1, "struct<s:int, ib:bigint, idx:binary>")
+            tuples = (
+                keyed.withColumn("__r", udf(F.col("__key")))
+                .select(
+                    *in_cols,
+                    F.col("__r.s").alias("__shard_id"),
+                    F.col("__r.ib").alias("__ib"),
+                    F.col("__r.idx").alias("__idx"),
+                )
+            )
+        else:  # pre-4.1 runtime: whole-row mapInArrow route
+
+            def index_fn(batches):
+                for b in batches:
+                    shard, ib, idx, _ = _route_batch(
+                        b.column(b.num_columns - 1), p, dedup=False, int_mode=int_mode
+                    )
+                    cols = [b.column(i) for i in range(b.num_columns - 1)]
+                    yield pa.RecordBatch.from_arrays(
+                        cols + [pa.array(shard), pa.array(ib), _idx_to_binary(idx)],
+                        in_cols + ["__shard_id", "__ib", "__idx"],
+                    )
+
+            route_schema = T.StructType(
+                list(df.schema.fields)
+                + [
+                    T.StructField("__shard_id", T.IntegerType()),
+                    T.StructField("__ib", T.LongType()),
+                    T.StructField("__idx", T.BinaryType()),
+                ]
+            )
+            tuples = keyed.mapInArrow(index_fn, route_schema)
         if salt > 1:
             tuples = tuples.withColumn(
                 "salt", F.pmod(F.xxhash64("__ib"), F.lit(salt)).cast("int")

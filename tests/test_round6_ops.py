@@ -235,6 +235,52 @@ class TestGroupedRowsShape:
             build_sketch_grouped(df, "k", ["g"], BloomSketch.factory(4), shuffle="zigzag")
 
 
+class TestMediaPoolingVectorized:
+    def test_feat_matches_per_cell_means(self, spark):
+        from poppy_spark.spark.multimodal import (
+            decode_image, encode_bmp, extract_media_features,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(40):
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            rows.append((i, bytearray(encode_bmp(img)), w, h, "image", None))
+        rows.append((999, None, 0, 0, "image", None))
+        df = spark.createDataFrame(
+            rows,
+            "doc_id bigint, media binary, media_w int, media_h int, "
+            "media_type string, media_ms int",
+        )
+        got = {
+            r["doc_id"]: r["feat"]
+            for r in extract_media_features(df, allow_fake=False).collect()
+        }
+        assert got[999] is None
+        for i, buf, w, h, _, _ in rows[:-1]:
+            plane = decode_image(bytes(buf), w, h, allow_fake=False)
+            gh = np.array_split(plane, 8, axis=0)
+            want = [
+                float(c.mean())
+                for row in gh
+                for c in np.array_split(row, 8, axis=1)
+            ]
+            assert got[i] == want, i  # bit-exact, not approximately equal
+
+    def test_audio_features_skip_riff_non_wave(self, spark):
+        from poppy_spark.spark.multimodal import extract_audio_features
+
+        rows = [
+            (1, bytearray(b"RIFF" + b"\x00" * 4 + b"WEBP" + b"\x00" * 32)),
+            (2, bytearray(b"RIFF" + b"\x00" * 2)),  # truncated header
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+        out = {r["doc_id"]: r["audio_ms"] for r in extract_audio_features(df).collect()}
+        assert out == {1: None, 2: None, 3: None}
+
+
 class TestRoutedKernels:
     def test_route_then_scatter_equals_bulk_insert(self):
         from poppy_spark.core import BloomFilter
