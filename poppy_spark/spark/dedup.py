@@ -245,7 +245,13 @@ def exact_ngram_jaccard(
         id_col,
         "left_semi",
     )
-    sh = shingle_hashes(cdf, text_col, id_col, k).distinct()
+    # persist: the shingle set is referenced THREE times below (sizes + both
+    # sides of the common-shingle join), and each reference would otherwise
+    # re-run the whole candidate-doc subtree (scan -> dedup -> quality ->
+    # semi-join -> shingles -> distinct).  Bounded by the candidate set;
+    # left to LRU eviction like ``near_duplicate_pairs``' candidate cache
+    # (no safe unpersist point before the caller's action).
+    sh = shingle_hashes(cdf, text_col, id_col, k).distinct().persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # count common shingles per pair via join on shingle hash
     a = sh.select(F.col("id").alias("id_a"), "sh")

@@ -87,13 +87,16 @@ def _normalize_rows_exact(arr):
             pa.array(off - base, type=pa.int32()),
             pa.array(out.ravel(), type=pa.float64()),
         )
-    # slow exact path: per-row scalar fold (nulls / ragged / empty rows)
+    # slow exact path: per-row scalar fold (nulls / ragged / empty rows);
+    # the element dtype follows the column (float32 embeddings multiply in
+    # float32 as Spark does; already-double vectors multiply in float64)
+    eldt = np.float64 if pa.types.is_float64(arr.type.value_type) else np.float32
     out_rows = []
     for row in arr:
         if not row.is_valid:
             out_rows.append(None)
             continue
-        vals = [None if not e.is_valid else np.float32(e.as_py()) for e in row.values]
+        vals = [None if not e.is_valid else eldt(e.as_py()) for e in row.values]
         acc: float | None = 0.0
         for e in vals:
             if acc is None or e is None:
@@ -751,12 +754,54 @@ def pq_encode(
 
     encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     udf = pandas_udf(encode, "array<int>")
+    # no _spread here: the per-row work is one batched matmul, and callers
+    # cache the codes — spreading a small table into many tiny partitions
+    # made every downstream per-batch scorer (pq_topk) pay ~30x the
+    # fixed per-batch cost for no compute win
     c = (
-        with_normalized(_spread(corpus), vec_col)
+        with_normalized(corpus, vec_col)
         .select(F.col(id_col).alias("id"), F.col("vec_n").alias("cv"))
         .filter(F.col("cv").isNotNull())
     )
     return c.select("id", udf(F.col("cv")).alias("codes"))
+
+
+def _collect_normalized_queries(
+    queries: DataFrame, query_id_col: str, vec_col: str, max_queries: int, op: str
+) -> list:
+    """Driver-side query prep for the LUT-building top-k verbs: collect at
+    most ``max_queries + 1`` non-null query rows in ONE bounded JVM job and
+    normalize them on the driver through the exact kernel
+    (:func:`_normalize_rows_exact`) — the former shape ran a distributed
+    normalize UDF plus a separate guard-count job for a <=10k-row batch,
+    ~0.4 s of per-job overhead per call.  Returns ``[(query_id, qv
+    float64 ndarray), ...]``; raises past ``max_queries``."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType
+
+    qraw = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .filter(F.col("qv").isNotNull())
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qraw) > max_queries:
+        raise ValueError(
+            f"{op} query batch exceeds max_queries={max_queries} (LUTs are "
+            "driver-built); chunk the query batch and union results, or raise "
+            "max_queries deliberately"
+        )
+    el = queries.schema[vec_col].dataType.elementType
+    pa_el = pa.float64() if isinstance(el, DoubleType) else pa.float32()
+    vecs = pa.array([list(r["qv"]) for r in qraw], type=pa.list_(pa_el))
+    normed = _normalize_rows_exact(vecs)
+    return [
+        (r["query_id"], np.asarray(normed[i].as_py(), dtype=np.float64))
+        for i, r in enumerate(qraw)
+    ]
 
 
 def pq_topk(
@@ -785,28 +830,17 @@ def pq_topk(
     import pandas as pd
 
     spark = codes.sparkSession
-    qdf = (
-        with_normalized(queries, vec_col)
-        .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
-        .filter(F.col("qv").isNotNull())
+    qpairs = _collect_normalized_queries(
+        queries, query_id_col, vec_col, max_queries, "pq_topk"
     )
-    n_q = qdf.limit(max_queries + 1).count()
-    if n_q > max_queries:
-        raise ValueError(
-            f"pq_topk query batch exceeds max_queries={max_queries} (LUTs are "
-            "driver-built); chunk the query batch and union results, or raise "
-            "max_queries deliberately"
-        )
-    qrows = qdf.collect()
     m, n_codes, dsub = codebooks.shape
     luts, qids = [], []
-    for r in qrows:
-        q = np.asarray(r["qv"], dtype=np.float64)
+    for qid, q in qpairs:
         lut = np.empty((m, n_codes), dtype=np.float64)
         for i in range(m):
             lut[i] = codebooks[i] @ q[i * dsub : (i + 1) * dsub]
         luts.append(lut)
-        qids.append(r["query_id"])
+        qids.append(qid)
     bc = spark.sparkContext.broadcast((qids, np.stack(luts) if luts else None))
 
     import pyspark.sql.types as T
@@ -896,28 +930,17 @@ def ivfpq_topk(
         c_cells.select("id", "cell"), "id"
     )
 
-    # query side: probe cells + an ADC lookup table per query — driver-built,
-    # so guarded by a limit()-bounded pre-count like pq_topk (chunk + union
-    # for larger batches; the corpus-side index is reused across chunks)
-    qdf = (
-        with_normalized(queries, vec_col)
-        .select(F.col(query_id_col).alias("query_id"), F.col("vec_n").alias("qv"))
-        .filter(F.col("qv").isNotNull())
+    # query side: probe cells + an ADC lookup table per query — driver-built
+    # from one bounded collect (chunk + union for larger batches; the
+    # corpus-side index is reused across chunks)
+    qpairs = _collect_normalized_queries(
+        queries, query_id_col, vec_col, max_queries, "ivfpq_topk"
     )
-    n_q = qdf.limit(max_queries + 1).count()
-    if n_q > max_queries:
-        raise ValueError(
-            f"ivfpq_topk query batch exceeds max_queries={max_queries} (probe "
-            "sets + LUTs are driver-built); chunk the query batch and union "
-            "results, or raise max_queries deliberately"
-        )
-    qrows = qdf.collect()
     m, n_codes_b, dsub = codebooks.shape
     cent_t = centroids.T
     luts, qids, probe_cells = [], [], []
     p = min(n_probe, nc)
-    for r in qrows:
-        q = np.asarray(r["qv"], dtype=np.float64)
+    for qid, q in qpairs:
         scores = q @ cent_t
         top = np.argpartition(-scores, p - 1)[:p]
         probe_cells.append(set(int(x) for x in top))
@@ -925,7 +948,7 @@ def ivfpq_topk(
         for i in range(m):
             lut[i] = codebooks[i] @ q[i * dsub : (i + 1) * dsub]
         luts.append(lut)
-        qids.append(r["query_id"])
+        qids.append(qid)
     bc = spark.sparkContext.broadcast(
         (qids, np.stack(luts) if luts else None, probe_cells)
     )
