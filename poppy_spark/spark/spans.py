@@ -149,11 +149,27 @@ def remove_repeated_spans(
     an in-place array filter.  ``stride`` thins detection AND removal by
     the same content rule, so they stay consistent under subsampling."""
     out = output_col or text_col
-    spans = _span_tuples(df, text_col, id_col, span_words, stride)
-    rep = repeated_spans(
-        df, text_col, id_col, span_words=span_words, min_docs=min_docs,
-        stride=stride,
-    ).select(F.col("span_hash").alias("__key"), "first_id", "first_pos")
+    # ONE span scan shared by detection and removal: the former shape ran
+    # ``_span_tuples`` twice (once here, once inside ``repeated_spans``),
+    # i.e. two full tokenize+window+md5 passes over the corpus.  The
+    # detection aggregate is inlined over the SAME persisted tuple stream
+    # (bounded: 32-byte digests + two ints per window; left to LRU like the
+    # candidate caches in ``dedup`` — no safe unpersist point before the
+    # caller's action).
+    spans = _span_tuples(df, text_col, id_col, span_words, stride).persist()
+    per_doc = spans.groupBy("__key", "__id").agg(
+        F.count("*").alias("n_in_doc"), F.min("__pos").alias("min_pos")
+    )
+    rep = (
+        per_doc.groupBy("__key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.struct(F.col("__id"), F.col("min_pos"))).alias("f"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("__key", F.col("f.__id").alias("first_id"),
+                F.col("f.min_pos").alias("first_pos"))
+    )
     starts = (
         spans.join(rep, "__key")
         .filter(
