@@ -279,9 +279,17 @@ def semantic_dedup(
     Recall caveat (inherent to SemDeDup): near-dup pairs straddling a
     cluster boundary are missed; thresholds near 1 keep the miss rate low
     because near-identical vectors share a nearest centroid.  At 100 TB
-    the only corpus-sized exchanges are the cell equi-join (uniform by
-    construction after thinning) and the component propagation over the
-    surviving edge list."""
+    the only corpus-sized exchange is the cell-keyed shuffle feeding the
+    per-cell scoring kernel, plus the component propagation over the
+    surviving edge list.
+
+    Storage note: each call persists the cell-assignment DataFrame (via
+    ``_thin_hot_cells`` — the size collect and the scoring kernel share
+    it) and ``duplicate_components`` persists the edge list; both are
+    released by Spark's LRU eviction rather than an explicit unpersist
+    (there is no safe point before the caller's action).  Callers running
+    ``semantic_dedup`` in a tight loop should expect executor-storage
+    pressure accordingly."""
     from poppy_spark.spark.dedup import duplicate_components
 
     spark = corpus.sparkSession
